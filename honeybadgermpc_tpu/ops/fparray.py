@@ -1,0 +1,249 @@
+"""FpArray: a jit-friendly array of GF(p) elements in Montgomery form.
+
+This is the device-side value type of the whole framework — the TPU-native
+replacement for the reference's per-element ``GFElement`` objects
+(honeybadgermpc/field.py:68) and NTL ``vec_ZZ_p``. Storage is
+``uint32[L, *shape]`` (limbs leading, element axes minor — see ops/limbs.py
+for why). Registered as a pytree so it flows through jit/vmap/shard_map.
+
+All arithmetic stays in Montgomery form; conversion happens only at the
+host boundary (``from_ints`` / ``to_ints``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import montgomery as mont
+from .limbs import (L, P, R2_MOD_P_LIMBS, R_MOD_P_LIMBS, ints_to_limbs,
+                    limbs_to_ints)
+
+
+def _as_list(limbs):
+    return [limbs[j] for j in range(L)]
+
+
+def _as_stack(lst):
+    return jnp.stack(lst, axis=0)
+
+
+# Jitted kernel entry points over stacked limbs. Calling through these (rather
+# than tracing op-by-op in eager mode) matters: one Montgomery multiply is
+# ~2k scalar uint32 ops, so eager dispatch would dominate. Under an outer jit
+# these nested jits are inlined and fuse normally.
+_jit_add = jax.jit(lambda a, b: _as_stack(mont.add_mod(_as_list(a), _as_list(b))))
+_jit_sub = jax.jit(lambda a, b: _as_stack(mont.sub_mod(_as_list(a), _as_list(b))))
+_jit_mul = jax.jit(lambda a, b: _as_stack(mont.mont_mul(_as_list(a), _as_list(b))))
+_jit_sqr = jax.jit(lambda a: _as_stack(mont.mont_sqr(_as_list(a))))
+_jit_neg = jax.jit(lambda a: _as_stack(mont.neg_mod(_as_list(a))))
+_jit_inv = jax.jit(lambda a: _as_stack(mont.inv_mod(_as_list(a))))
+_jit_to_mont = jax.jit(lambda a: _as_stack(mont.to_mont(_as_list(a))))
+_jit_from_mont = jax.jit(lambda a: _as_stack(mont.from_mont(_as_list(a))))
+_jit_sqrt = jax.jit(lambda a: (lambda r, ok: (_as_stack(r), ok))(*mont.sqrt_mod(_as_list(a))))
+_jit_pow = jax.jit(
+    lambda a, e: _as_stack(mont.pow_const(_as_list(a), e)), static_argnums=1)
+_jit_is_zero = jax.jit(lambda a: mont.is_zero_mask(_as_list(a)))
+_jit_eq = jax.jit(lambda a, b: mont.eq_mask(_as_list(a), _as_list(b)))
+
+
+@jax.tree_util.register_pytree_node_class
+class FpArray:
+    """Array of field elements; shape excludes the limb axis."""
+
+    __slots__ = ("limbs",)
+
+    def __init__(self, limbs):
+        self.limbs = limbs  # uint32[L, *shape], Montgomery form, canonical
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        return (self.limbs,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_ints(cls, xs):
+        """Host: Python ints / object array -> Montgomery-form FpArray."""
+        arr = np.asarray(xs, dtype=object)
+        plain = ints_to_limbs(arr % P if arr.ndim == 0 else np.vectorize(lambda v: int(v) % P, otypes=[object])(arr))
+        lst = _as_list(jnp.asarray(plain))
+        return cls(_jit_to_mont(_as_stack(lst)))
+
+    @classmethod
+    def from_int(cls, x: int, shape=()):
+        v = pow(2, 256, P) * x % P  # Montgomery form computed on host
+        host = ints_to_limbs(np.full(shape, v, dtype=object)) if shape else ints_to_limbs(np.array(v, dtype=object))
+        return cls(jnp.asarray(host))
+
+    @classmethod
+    def zeros(cls, shape=()):
+        return cls.from_int(0, shape)
+
+    @classmethod
+    def ones(cls, shape=()):
+        return cls.from_int(1, shape)
+
+    @classmethod
+    def from_limbs_plain(cls, limbs):
+        """Device: uint32[L, *shape] plain residues (any 256-bit value) ->
+        Montgomery FpArray, reducing mod p."""
+        return cls(_jit_to_mont(limbs))
+
+    @classmethod
+    def rand(cls, key, shape=()):
+        """Uniform field elements (statistical distance < 2^-120 from
+        uniform: 256 random bits reduced mod the 255-bit p)."""
+        bits = jax.random.bits(key, (L,) + tuple(shape), dtype=jnp.uint32) & jnp.uint32(0xFFFF)
+        return cls.from_limbs_plain(bits)
+
+    # -- host extraction ---------------------------------------------------
+    def to_ints(self) -> np.ndarray:
+        """Object ndarray of Python ints in [0, p)."""
+        plain = _jit_from_mont(self.limbs)
+        return limbs_to_ints(np.asarray(jax.device_get(plain)))
+
+    def to_int(self) -> int:
+        assert self.shape == (), self.shape
+        return int(self.to_ints()[()])
+
+    # -- shape plumbing ----------------------------------------------------
+    @property
+    def shape(self):
+        return tuple(self.limbs.shape[1:])
+
+    @property
+    def ndim(self):
+        return self.limbs.ndim - 1
+
+    @property
+    def size(self):
+        s = 1
+        for d in self.shape:
+            s *= d
+        return s
+
+    def reshape(self, *shape):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        return FpArray(self.limbs.reshape((L,) + tuple(shape)))
+
+    def __getitem__(self, idx):
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        return FpArray(self.limbs[(slice(None),) + idx])
+
+    def at_set(self, idx, value: "FpArray"):
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        return FpArray(self.limbs.at[(slice(None),) + idx].set(value.limbs))
+
+    def transpose(self, axes=None):
+        if axes is None:
+            axes = tuple(reversed(range(self.ndim)))
+        return FpArray(self.limbs.transpose((0,) + tuple(a + 1 for a in axes)))
+
+    @property
+    def T(self):
+        return self.transpose()
+
+    def broadcast_to(self, shape):
+        return FpArray(jnp.broadcast_to(self.limbs, (L,) + tuple(shape)))
+
+    def take(self, indices, axis=0):
+        return FpArray(jnp.take(self.limbs, indices, axis=axis + 1))
+
+    @staticmethod
+    def concatenate(arrays, axis=0):
+        return FpArray(jnp.concatenate([a.limbs for a in arrays], axis=axis + 1))
+
+    @staticmethod
+    def stack(arrays, axis=0):
+        return FpArray(jnp.stack([a.limbs for a in arrays], axis=axis + 1))
+
+    def _lst(self):
+        return _as_list(self.limbs)
+
+    # -- arithmetic --------------------------------------------------------
+    def _coerce(self, other):
+        if isinstance(other, FpArray):
+            return other
+        if isinstance(other, int):
+            return FpArray.from_int(other)
+        return NotImplemented
+
+    def __add__(self, other):
+        o = self._coerce(other)
+        if o is NotImplemented:
+            return NotImplemented
+        return FpArray(_jit_add(self.limbs, o.limbs))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        o = self._coerce(other)
+        if o is NotImplemented:
+            return NotImplemented
+        return FpArray(_jit_sub(self.limbs, o.limbs))
+
+    def __rsub__(self, other):
+        o = self._coerce(other)
+        return FpArray(_jit_sub(o.limbs, self.limbs))
+
+    def __mul__(self, other):
+        o = self._coerce(other)
+        if o is NotImplemented:
+            return NotImplemented
+        return FpArray(_jit_mul(self.limbs, o.limbs))
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return FpArray(_jit_neg(self.limbs))
+
+    def __truediv__(self, other):
+        o = self._coerce(other)
+        return self * o.inv()
+
+    def __rtruediv__(self, other):
+        o = self._coerce(other)
+        return o * self.inv()
+
+    def square(self):
+        return FpArray(_jit_sqr(self.limbs))
+
+    def inv(self):
+        """Elementwise inverse (Fermat; inv(0)=0)."""
+        return FpArray(_jit_inv(self.limbs))
+
+    def pow_static(self, e: int):
+        return FpArray(_jit_pow(self.limbs, e))
+
+    def sqrt(self):
+        r, ok = _jit_sqrt(self.limbs)
+        return FpArray(r), ok
+
+    # -- predicates --------------------------------------------------------
+    def is_zero(self):
+        return _jit_is_zero(self.limbs)
+
+    def eq(self, other):
+        o = self._coerce(other)
+        return _jit_eq(self.limbs, o.limbs)
+
+    @staticmethod
+    def select(mask, a: "FpArray", b: "FpArray"):
+        """where(mask, a, b) — mask broadcasts over element shape."""
+        return FpArray(_as_stack(mont.select(mask, a._lst(), b._lst())))
+
+    def __repr__(self):
+        if self.limbs.ndim and not isinstance(self.limbs, jax.core.Tracer) and self.size <= 8:
+            try:
+                return f"FpArray({self.to_ints()!r})"
+            except Exception:
+                pass
+        return f"FpArray(shape={self.shape}, mont_limbs={self.limbs.shape})"
