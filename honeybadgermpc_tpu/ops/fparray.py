@@ -31,21 +31,20 @@ def _as_stack(lst):
 
 # Jitted kernel entry points over stacked limbs. Calling through these (rather
 # than tracing op-by-op in eager mode) matters: one Montgomery multiply is
-# ~2k scalar uint32 ops, so eager dispatch would dominate. Under an outer jit
+# ~300 uint32 ops, so eager dispatch would dominate. Under an outer jit
 # these nested jits are inlined and fuse normally.
-_jit_add = jax.jit(lambda a, b: _as_stack(mont.add_mod(_as_list(a), _as_list(b))))
-_jit_sub = jax.jit(lambda a, b: _as_stack(mont.sub_mod(_as_list(a), _as_list(b))))
-_jit_mul = jax.jit(lambda a, b: _as_stack(mont.mont_mul(_as_list(a), _as_list(b))))
-_jit_sqr = jax.jit(lambda a: _as_stack(mont.mont_sqr(_as_list(a))))
-_jit_neg = jax.jit(lambda a: _as_stack(mont.neg_mod(_as_list(a))))
-_jit_inv = jax.jit(lambda a: _as_stack(mont.inv_mod(_as_list(a))))
-_jit_to_mont = jax.jit(lambda a: _as_stack(mont.to_mont(_as_list(a))))
-_jit_from_mont = jax.jit(lambda a: _as_stack(mont.from_mont(_as_list(a))))
-_jit_sqrt = jax.jit(lambda a: (lambda r, ok: (_as_stack(r), ok))(*mont.sqrt_mod(_as_list(a))))
-_jit_pow = jax.jit(
-    lambda a, e: _as_stack(mont.pow_const(_as_list(a), e)), static_argnums=1)
-_jit_is_zero = jax.jit(lambda a: mont.is_zero_mask(_as_list(a)))
-_jit_eq = jax.jit(lambda a, b: mont.eq_mask(_as_list(a), _as_list(b)))
+_jit_add = jax.jit(mont.add_mod)
+_jit_sub = jax.jit(mont.sub_mod)
+_jit_mul = jax.jit(mont.mont_mul)
+_jit_sqr = jax.jit(mont.mont_sqr)
+_jit_neg = jax.jit(mont.neg_mod)
+_jit_inv = jax.jit(mont.inv_mod)
+_jit_to_mont = jax.jit(mont.to_mont)
+_jit_from_mont = jax.jit(mont.from_mont)
+_jit_sqrt = jax.jit(mont.sqrt_mod)
+_jit_pow = jax.jit(mont.pow_const, static_argnums=1)
+_jit_is_zero = jax.jit(mont.is_zero_mask)
+_jit_eq = jax.jit(mont.eq_mask)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -70,9 +69,12 @@ class FpArray:
     def from_ints(cls, xs):
         """Host: Python ints / object array -> Montgomery-form FpArray."""
         arr = np.asarray(xs, dtype=object)
-        plain = ints_to_limbs(arr % P if arr.ndim == 0 else np.vectorize(lambda v: int(v) % P, otypes=[object])(arr))
-        lst = _as_list(jnp.asarray(plain))
-        return cls(_jit_to_mont(_as_stack(lst)))
+        if arr.ndim == 0:
+            plain = ints_to_limbs(np.array(int(arr[()]) % P, dtype=object))
+        else:
+            plain = ints_to_limbs(
+                np.vectorize(lambda v: int(v) % P, otypes=[object])(arr))
+        return cls(_jit_to_mont(jnp.asarray(plain)))
 
     @classmethod
     def from_int(cls, x: int, shape=()):
@@ -155,6 +157,7 @@ class FpArray:
         return FpArray(jnp.broadcast_to(self.limbs, (L,) + tuple(shape)))
 
     def take(self, indices, axis=0):
+        indices = jnp.asarray(indices)
         return FpArray(jnp.take(self.limbs, indices, axis=axis + 1))
 
     @staticmethod
@@ -238,7 +241,7 @@ class FpArray:
     @staticmethod
     def select(mask, a: "FpArray", b: "FpArray"):
         """where(mask, a, b) — mask broadcasts over element shape."""
-        return FpArray(_as_stack(mont.select(mask, a._lst(), b._lst())))
+        return FpArray(jnp.where(mask[None, ...], a.limbs, b.limbs))
 
     def __repr__(self):
         if self.limbs.ndim and not isinstance(self.limbs, jax.core.Tracer) and self.size <= 8:

@@ -1,210 +1,217 @@
 """Montgomery-form GF(p) arithmetic kernels in JAX (VPU path).
 
-These are the scalar-free, fully vectorized building blocks that everything
-else (NTT, Reed-Solomon, reconstruction, MPC ops) lowers to. Each function
-operates on a Python list of ``L`` uint32 jnp arrays (one per 16-bit limb);
-the limb loop is unrolled at trace time so XLA sees a flat chain of
-elementwise uint32 ops over the batch axes — ideal for VPU fusion. The
-stacked ``uint32[L, *shape]`` storage form is converted to/from lists at
-kernel entry (see :mod:`honeybadgermpc_tpu.ops.fparray`).
+These are the building blocks everything else (NTT, Reed-Solomon,
+reconstruction, MPC ops) lowers to. All functions operate on stacked
+``uint32[L, *batch]`` limb arrays (16-bit limbs in uint32 lanes, leading limb
+axis — see ops/limbs.py).
+
+The multiplier is a **carry-save CIOS**: instead of rippling a carry through
+an unrolled 16x16 scalar-limb double loop (which bloats the HLO to ~2k ops
+per multiply and starves the VPU), each outer step does whole-limb-vector
+ops — one 16-wide product, lo/hi split, two shifted adds — and keeps the
+accumulator in redundant form (limbs < 2^23), with a single carry
+normalization at the end. ~300 HLO ops per multiply, fully vectorized over
+limbs x batch. Overflow analysis in comments below.
 
 Reference semantics: honeybadgermpc/field.py:68-233 (GFElement algebra) and
 honeybadgermpc/ntl/rsdecode_impl.h (the NTL ZZ_p compute core). This is a
-ground-up redesign for TPU, not a port: NTL's arbitrary-precision ZZ_p becomes
-fixed 16x16-bit limb vectors in Montgomery form.
+ground-up redesign for TPU, not a port.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .limbs import L, MASK, N0, P, P_LIMBS, R_MOD_P_LIMBS, R2_MOD_P_LIMBS, W
+from .limbs import (L, MASK, N0, P, P_LIMBS, R2_MOD_P_LIMBS, R_MOD_P_LIMBS,
+                    W, int_to_limbs)
 
 _U32 = jnp.uint32
+_P_STACK = np.asarray(P_LIMBS).reshape((L,) + ())  # uint32[L]
 
 
-def _const(limb_value: int):
-    return _U32(limb_value)
+def _bshape(a):
+    return a.shape[1:]
 
 
-_P = [int(x) for x in P_LIMBS]
+def _pstack(shape):
+    return jnp.asarray(P_LIMBS, _U32).reshape((L,) + (1,) * len(shape))
 
 
-def broadcast_shape(a, b):
-    return jnp.broadcast_shapes(jnp.shape(a[0]), jnp.shape(b[0]))
+def _shift_up(x, rows=1):
+    """Multiply by 2^(16*rows) in limb space: prepend zero limbs, drop top."""
+    pad = jnp.zeros((rows,) + x.shape[1:], _U32)
+    return jnp.concatenate([pad, x[:-rows]], axis=0)
 
 
-def zeros_list(shape):
-    z = jnp.zeros(shape, _U32)
-    return [z for _ in range(L)]
+# -- canonical (limbs < 2^16) add/sub with ripple chains ---------------------
 
-
-def sub_raw(a, b):
-    """256-bit subtract with borrow chain. Returns (limbs, borrow in {0,1})."""
-    borrow = jnp.zeros(broadcast_shape(a, b), _U32)
+def _carry_chain(vals):
+    """Normalize a list of L limb arrays (< 2^32) into canonical limbs plus
+    carry-out. Sequential 16-step ripple on [...]-shaped arrays."""
+    c = jnp.zeros(vals[0].shape, _U32)
     out = []
     for j in range(L):
-        t = a[j] - b[j] - borrow          # uint32 wraparound on negative
-        out.append(t & MASK)
-        borrow = (t >> W) & _const(1)     # wrapped => high half is 0xFFFF
-    return out, borrow
+        v = vals[j] + c
+        out.append(v & MASK)
+        c = v >> W
+    return out, c
 
 
-def add_raw(a, b):
-    """256-bit add with carry chain. Returns (limbs, carry)."""
-    carry = jnp.zeros(broadcast_shape(a, b), _U32)
-    out = []
-    for j in range(L):
-        t = a[j] + b[j] + carry
-        out.append(t & MASK)
-        carry = t >> W
-    return out, carry
-
-
-def _sub_p(a):
-    """a - P with borrow chain (P is a compile-time constant)."""
-    borrow = jnp.zeros(jnp.shape(a[0]), _U32)
-    out = []
-    for j in range(L):
-        t = a[j] - _const(_P[j]) - borrow
-        out.append(t & MASK)
-        borrow = (t >> W) & _const(1)
-    return out, borrow
-
-
-def _add_p(a):
-    carry = jnp.zeros(jnp.shape(a[0]), _U32)
-    out = []
-    for j in range(L):
-        t = a[j] + _const(_P[j]) + carry
-        out.append(t & MASK)
-        carry = t >> W
-    return out, carry
-
-
-def cond_sub_p(a, hi):
-    """Reduce a (value hi*2^256 + a < 2p) into [0, p)."""
-    d, borrow = _sub_p(a)
-    take = (hi != 0) | (borrow == 0)
-    return [jnp.where(take, d[j], a[j]) for j in range(L)]
+def _unstack(a):
+    return [a[j] for j in range(L)]
 
 
 def add_mod(a, b):
-    s, carry = add_raw(a, b)
-    return cond_sub_p(s, carry)
+    s = a + b                       # limbs < 2^17
+    out, carry = _carry_chain(_unstack(s))
+    return cond_sub_p(jnp.stack(out, 0), carry)
+
+
+def _sub_p_list(a_list, shape):
+    borrow = jnp.zeros(shape, _U32)
+    out = []
+    for j in range(L):
+        t = a_list[j] - _U32(int(P_LIMBS[j])) - borrow
+        out.append(t & MASK)
+        borrow = (t >> W) & _U32(1)
+    return out, borrow
+
+
+def cond_sub_p(a, hi):
+    """Reduce a (value hi*2^256 + a < 2p) into [0, p). a canonical limbs."""
+    d, borrow = _sub_p_list(_unstack(a), _bshape(a))
+    take = (hi != 0) | (borrow == 0)
+    return jnp.where(take, jnp.stack(d, 0), a)
 
 
 def sub_mod(a, b):
-    d, borrow = sub_raw(a, b)
-    dp, _ = _add_p(d)
-    nz = borrow != 0
-    return [jnp.where(nz, dp[j], d[j]) for j in range(L)]
+    al, bl = _unstack(a), _unstack(b)
+    borrow = jnp.zeros(jnp.broadcast_shapes(_bshape(a), _bshape(b)), _U32)
+    d = []
+    for j in range(L):
+        t = al[j] - bl[j] - borrow
+        d.append(t & MASK)
+        borrow = (t >> W) & _U32(1)
+    # if borrow: add p back
+    carry = jnp.zeros_like(borrow)
+    dp = []
+    for j in range(L):
+        t = d[j] + _U32(int(P_LIMBS[j])) + carry
+        dp.append(t & MASK)
+        carry = t >> W
+    neg = borrow != 0
+    return jnp.where(neg, jnp.stack(dp, 0), jnp.stack(d, 0))
 
 
 def neg_mod(a):
-    """p - a, with -0 = 0."""
-    is_zero = is_zero_mask(a)
-    d, _ = sub_raw([jnp.broadcast_to(_const(_P[j]), jnp.shape(a[0])) for j in range(L)], a)
-    return [jnp.where(is_zero, jnp.zeros_like(d[j]), d[j]) for j in range(L)]
+    """p - a (a < p, so no borrow escapes), with -0 = 0."""
+    zero = is_zero_mask(a)
+    borrow = jnp.zeros(_bshape(a), _U32)
+    d = []
+    for j in range(L):
+        t = _U32(int(P_LIMBS[j])) - a[j] - borrow
+        d.append(t & MASK)
+        borrow = (t >> W) & _U32(1)
+    out = jnp.stack(d, 0)
+    return jnp.where(zero, jnp.zeros_like(out), out)
 
 
 def is_zero_mask(a):
+    return _or_fold(a) == 0
+
+
+def _or_fold(a):
     acc = a[0]
     for j in range(1, L):
         acc = acc | a[j]
-    return acc == 0
+    return acc
 
 
 def eq_mask(a, b):
-    acc = (a[0] ^ b[0])
-    for j in range(1, L):
-        acc = acc | (a[j] ^ b[j])
-    return acc == 0
+    return _or_fold(a ^ b) == 0
 
+
+# -- carry-save CIOS multiplier ----------------------------------------------
 
 def mont_mul(a, b):
-    """CIOS Montgomery multiply: returns a*b*R^{-1} mod p, canonical (< p).
+    """a*b*R^{-1} mod p, canonical output (< p). a, b: canonical uint32[L,...].
 
-    All intermediate sums fit uint32 because limbs are 16-bit:
-    t + a_i*b_j + c <= (2^16-1)^2 + 2(2^16-1) = 2^32 - 1.
+    Redundant accumulator t: uint32[L+1, ...], limbs < 2^23.
+    Per outer step i, limb j gains at most lo_j + hi_{j-1} + mlo_j + mhi_{j-1}
+    <= 4*(2^16-1); the limb-0 carry re-injection adds < 2^16. Over 16 steps
+    every limb stays < 16*4*2^16 + 2^16 < 2^23 << 2^32, so uint32 never
+    overflows. m is derived from t[0] mod 2^16 which is exact in carry-save
+    form (higher-order contributions never wrap downward).
     """
-    shape = broadcast_shape(a, b)
-    zero = jnp.zeros(shape, _U32)
-    t = [zero] * (L + 2)
+    shape = jnp.broadcast_shapes(_bshape(a), _bshape(b))
+    b = jnp.broadcast_to(b, (L,) + shape)
+    pst = jnp.broadcast_to(_pstack(shape), (L,) + shape)
+    zrow = jnp.zeros((1,) + shape, _U32)
+    t = jnp.zeros((L + 1,) + shape, _U32)
     for i in range(L):
         ai = a[i]
-        c = zero
-        for j in range(L):
-            tmp = t[j] + ai * b[j] + c
-            t[j] = tmp & MASK
-            c = tmp >> W
-        tmp = t[L] + c
-        t[L] = tmp & MASK
-        t[L + 1] = t[L + 1] + (tmp >> W)
-        # reduction step
-        m = (t[0] * _const(N0)) & MASK
-        c = (t[0] + m * _const(_P[0])) >> W
-        for j in range(1, L):
-            tmp = t[j] + m * _const(_P[j]) + c
-            t[j - 1] = tmp & MASK
-            c = tmp >> W
-        tmp = t[L] + c
-        t[L - 1] = tmp & MASK
-        t[L] = t[L + 1] + (tmp >> W)
-        t[L + 1] = zero
-    return cond_sub_p(t[:L], t[L])
+        prod = ai[None, ...] * b                    # [L, ...] < 2^32
+        lo, hi = prod & MASK, prod >> W
+        t = t + jnp.concatenate([lo, zrow], 0) \
+              + jnp.concatenate([zrow, hi], 0)
+        m = ((t[0] & MASK) * _U32(N0)) & MASK       # [...]
+        mprod = m[None, ...] * pst                  # [L, ...] < 2^32
+        mlo, mhi = mprod & MASK, mprod >> W
+        t = t + jnp.concatenate([mlo, zrow], 0) \
+              + jnp.concatenate([zrow, mhi], 0)
+        carry0 = t[0] >> W                          # t[0] ≡ 0 mod 2^16 now
+        t = jnp.concatenate([t[1:], zrow], 0)
+        t = t.at[0].add(carry0)
+    # normalize: value < 2p < 2^256 so carry out of limb 15 plus t[L] is 0
+    out, _ = _carry_chain(_unstack(t))
+    return cond_sub_p(jnp.stack(out, 0), jnp.zeros(shape, _U32))
 
 
 def mont_sqr(a):
     return mont_mul(a, a)
 
 
-def const_list(limbs_np, shape=()):
-    """Compile-time uint32[L] numpy limbs -> broadcasted list form."""
-    return [jnp.broadcast_to(_const(int(limbs_np[j])), shape) for j in range(L)]
+def const_stack(limbs_np, shape=()):
+    """Compile-time uint32[L] numpy limbs -> broadcast [L, *shape] array."""
+    return jnp.broadcast_to(
+        jnp.asarray(np.asarray(limbs_np, np.uint32)).reshape(
+            (L,) + (1,) * len(shape)), (L,) + tuple(shape))
 
 
 def to_mont(a):
-    """Plain residue -> Montgomery form. Works for any 256-bit input
-    (also the uniform-sampling reduction path): returns (a mod p)*R mod p."""
-    return mont_mul(a, const_list(R2_MOD_P_LIMBS, jnp.shape(a[0])))
+    """Plain residue (any 256-bit value) -> Montgomery form of (a mod p)."""
+    return mont_mul(a, const_stack(R2_MOD_P_LIMBS, _bshape(a)))
 
 
 def from_mont(a):
     """Montgomery form -> plain residue in [0, p)."""
-    one = [jnp.broadcast_to(_const(1 if j == 0 else 0), jnp.shape(a[0])) for j in range(L)]
+    one = const_stack(int_to_limbs(1), _bshape(a))
     return mont_mul(a, one)
 
 
 def one_mont(shape=()):
-    return const_list(R_MOD_P_LIMBS, shape)
+    return const_stack(R_MOD_P_LIMBS, shape)
 
 
 def select(mask, a, b):
-    """Elementwise select between two limb lists (mask broadcasts)."""
-    return [jnp.where(mask, a[j], b[j]) for j in range(L)]
+    """where(mask, a, b) on stacked limbs; mask has batch shape."""
+    return jnp.where(mask[None, ...], a, b)
 
 
-_POW_UNROLL_LIMIT = 18  # exponents with few ops get unrolled for fusion
+_POW_UNROLL_LIMIT = 18
 
 
 def pow_const(a, e: int):
-    """a**e for a compile-time Python int exponent. Small exponents unroll
-    (best fusion); large ones lower to a lax.scan over the bit string so the
-    HLO contains exactly one squaring + one multiply regardless of e —
-    essential for compile time (a^(p-2) is 255 squarings at runtime).
-    a and result in Montgomery form."""
+    """a**e for a compile-time int exponent. Small e unrolls; large e lowers
+    to a lax.scan over bits (one squaring + one multiply in the HLO)."""
     if e == 0:
-        return one_mont(jnp.shape(a[0]))
+        return one_mont(_bshape(a))
     if e < 0:
         return pow_const(inv_mod(a), -e)
     nbits = e.bit_length()
-    nmuls = nbits - 1 + bin(e).count("1")
-    if nmuls <= _POW_UNROLL_LIMIT:
+    if nbits - 1 + bin(e).count("1") <= _POW_UNROLL_LIMIT:
         acc = None
         for bit in bin(e)[2:]:
             if acc is not None:
@@ -212,68 +219,49 @@ def pow_const(a, e: int):
             if bit == "1":
                 acc = a if acc is None else mont_mul(acc, a)
         return acc
-    # LSB-first scan: acc *= base when bit set; base squares each step.
-    bits = jnp.array([(e >> i) & 1 for i in range(nbits)], jnp.uint32)
-    shape = jnp.shape(a[0])
-    a_b = [jnp.broadcast_to(x, shape) for x in a]
+    bits = jnp.array([(e >> i) & 1 for i in range(nbits)], _U32)
 
     def body(carry, bit):
         acc, base = carry
-        take = bit != 0
-        acc = select(take, mont_mul(acc, base), acc)
+        acc = select(jnp.broadcast_to(bit != 0, _bshape(acc)), mont_mul(acc, base), acc)
         base = mont_sqr(base)
         return (acc, base), None
 
-    (acc, _), _ = jax.lax.scan(
-        body, (one_mont(shape), a_b), bits)
+    (acc, _), _ = jax.lax.scan(body, (one_mont(_bshape(a)), a), bits)
     return acc
 
 
 def inv_mod(a):
-    """Batched modular inverse via Fermat: a^(p-2). Fully data-parallel
-    (unlike Montgomery's sequential trick), so it vectorizes over arbitrarily
-    large batches — the TPU-native replacement for per-element NTL ``inv``.
-    inv(0) = 0 by convention (callers mask)."""
+    """Batched modular inverse via Fermat: a^(p-2); inv(0)=0 (callers mask).
+    Fully data-parallel — the TPU replacement for per-element NTL inv."""
     return pow_const(a, P - 2)
 
 
 # Tonelli-Shanks static data: p - 1 = q * 2^s with s = 32; nonresidue z = 5.
 _TS_S = 32
 _TS_Q = (P - 1) >> _TS_S
-_TS_ZQ = pow(5, _TS_Q, P)  # z^q precomputed on host
+_TS_ZQ = pow(5, _TS_Q, P)
 
 
 def sqrt_mod(a):
-    """Batched Tonelli-Shanks square root (constant-structure variant, cf.
-    RFC 9380 G.4) with lax loops so the HLO stays small. Returns
-    (root, has_root_mask); root*root == a wherever has_root_mask."""
-    from .limbs import int_to_limbs
-    shape = jnp.shape(a[0])
-    one = [jnp.broadcast_to(x, shape) for x in one_mont(shape)]
+    """Batched constant-structure Tonelli-Shanks (cf. RFC 9380 G.4) with lax
+    loops. Returns (root, has_root_mask); root*root == a where mask set."""
+    shape = _bshape(a)
+    one = one_mont(shape)
     t = pow_const(a, _TS_Q)
     r = pow_const(a, (_TS_Q + 1) // 2)
-    c = to_mont(const_list(int_to_limbs(_TS_ZQ), shape))
-
-    def stack(lst):
-        return jnp.stack(lst, 0)
-
-    def unstack(arr):
-        return [arr[j] for j in range(L)]
+    c = to_mont(const_stack(int_to_limbs(_TS_ZQ), shape))
 
     def outer(idx, state):
-        r_s, t_s, c_s = state
-        r_l, t_l, c_l = unstack(r_s), unstack(t_s), unstack(c_s)
+        r_, t_, c_ = state
         i = _TS_S - idx  # i runs s, s-1, ..., 2
-        b = jax.lax.fori_loop(
-            0, i - 2, lambda _, bb: stack(mont_sqr(unstack(bb))), t_s)
-        need = ~eq_mask(unstack(b), one)
-        c2 = mont_sqr(c_l)
-        r_l = select(need, mont_mul(r_l, c_l), r_l)
-        t_l = select(need, mont_mul(t_l, c2), t_l)
-        return stack(r_l), stack(t_l), stack(c2)
+        b = jax.lax.fori_loop(0, i - 2, lambda _, bb: mont_sqr(bb), t_)
+        need = ~eq_mask(b, one)
+        c2 = mont_sqr(c_)
+        r_ = select(need, mont_mul(r_, c_), r_)
+        t_ = select(need, mont_mul(t_, c2), t_)
+        return r_, t_, c2
 
-    r_s, _, _ = jax.lax.fori_loop(
-        0, _TS_S - 1, outer, (stack(r), stack(t), stack(c)))
-    r = unstack(r_s)
+    r, _, _ = jax.lax.fori_loop(0, _TS_S - 1, outer, (r, t, c))
     has_root = eq_mask(mont_sqr(r), a) | is_zero_mask(a)
     return r, has_root
