@@ -39,6 +39,20 @@ def _pstack(shape):
     return jnp.asarray(P_LIMBS, _U32).reshape((L,) + (1,) * len(shape))
 
 
+def _align2(a, b):
+    """numpy broadcasting aligns trailing dims, which is wrong for the
+    limb-LEADING layout when element ranks differ ([L,k] vs [L,B,k] must
+    align as [L,1,k]). Insert singleton batch dims right after the limb
+    axis so element shapes broadcast by their own trailing-dim rules."""
+    s1, s2 = a.shape[1:], b.shape[1:]
+    s = jnp.broadcast_shapes(s1, s2)
+    if len(s1) < len(s):
+        a = a.reshape((L,) + (1,) * (len(s) - len(s1)) + tuple(s1))
+    if len(s2) < len(s):
+        b = b.reshape((L,) + (1,) * (len(s) - len(s2)) + tuple(s2))
+    return a, b
+
+
 def _shift_up(x, rows=1):
     """Multiply by 2^(16*rows) in limb space: prepend zero limbs, drop top."""
     pad = jnp.zeros((rows,) + x.shape[1:], _U32)
@@ -64,6 +78,7 @@ def _unstack(a):
 
 
 def add_mod(a, b):
+    a, b = _align2(a, b)
     s = a + b                       # limbs < 2^17
     out, carry = _carry_chain(_unstack(s))
     return cond_sub_p(jnp.stack(out, 0), carry)
@@ -87,6 +102,7 @@ def cond_sub_p(a, hi):
 
 
 def sub_mod(a, b):
+    a, b = _align2(a, b)
     al, bl = _unstack(a), _unstack(b)
     borrow = jnp.zeros(jnp.broadcast_shapes(_bshape(a), _bshape(b)), _U32)
     d = []
@@ -130,6 +146,7 @@ def _or_fold(a):
 
 
 def eq_mask(a, b):
+    a, b = _align2(a, b)
     return _or_fold(a ^ b) == 0
 
 
@@ -145,6 +162,7 @@ def mont_mul(a, b):
     overflows. m is derived from t[0] mod 2^16 which is exact in carry-save
     form (higher-order contributions never wrap downward).
     """
+    a, b = _align2(a, b)
     shape = jnp.broadcast_shapes(_bshape(a), _bshape(b))
     b = jnp.broadcast_to(b, (L,) + shape)
     pst = jnp.broadcast_to(_pstack(shape), (L,) + shape)
