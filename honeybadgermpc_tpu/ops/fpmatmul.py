@@ -66,18 +66,24 @@ def fp_matmul(a: FpArray, m: FpArray) -> FpArray:
 
 
 @lru_cache(maxsize=None)
-def vandermonde_matrix(xs: tuple, k: int) -> FpArray:
-    """V[k, n] with V[i, j] = xs[j]^i (host-exact, Montgomery constants)."""
+def _vandermonde_np(xs: tuple, k: int):
     rows = []
     acc = [1] * len(xs)
     for _ in range(k):
         rows.append(list(acc))
         acc = [a * x % P for a, x in zip(acc, xs)]
-    return FpArray(jnp.asarray(_mont_np(rows)))
+    return _mont_np(rows)
+
+
+def vandermonde_matrix(xs: tuple, k: int) -> FpArray:
+    """V[k, n] with V[i, j] = xs[j]^i (host-exact, Montgomery constants).
+    NOTE: caches live as numpy so a first call inside a jit trace can't
+    leak a tracer into the cache."""
+    return FpArray(jnp.asarray(_vandermonde_np(xs, k)))
 
 
 @lru_cache(maxsize=None)
-def lagrange_matrix(xs: tuple) -> FpArray:
+def _lagrange_matrix_np(xs: tuple):
     """W[k, k] such that coeffs = ys @ W interpolates through (xs, ys):
     W[j, i] = coefficient of X^i in the Lagrange basis poly L_j(X).
     Host-exact inverse Vandermonde (pyx vandermonde_inverse:115 semantics)."""
@@ -104,7 +110,11 @@ def lagrange_matrix(xs: tuple) -> FpArray:
                 denom = denom * (xj - xm) % P
         dinv = pow(denom, P - 2, P)
         rows.append([c * dinv % P for c in nj])
-    return FpArray(jnp.asarray(_mont_np(rows)))
+    return _mont_np(rows)
+
+
+def lagrange_matrix(xs: tuple) -> FpArray:
+    return FpArray(jnp.asarray(_lagrange_matrix_np(xs)))
 
 
 def vandermonde_batch_evaluate(xs, coeffs: FpArray) -> FpArray:
@@ -132,8 +142,12 @@ def lagrange_evaluate_at(xs, ys: FpArray, x0: int = 0) -> FpArray:
     return FpArray(out.limbs[..., 0])
 
 
-@lru_cache(maxsize=None)
 def _lagrange_coeffs_at(xs: tuple, x0: int) -> FpArray:
+    return FpArray(jnp.asarray(_lagrange_coeffs_at_np(xs, x0)))
+
+
+@lru_cache(maxsize=None)
+def _lagrange_coeffs_at_np(xs: tuple, x0: int):
     k = len(xs)
     col = []
     for j, xj in enumerate(xs):
@@ -143,4 +157,4 @@ def _lagrange_coeffs_at(xs: tuple, x0: int) -> FpArray:
                 num = num * (x0 - xm) % P
                 den = den * (xj - xm) % P
         col.append([num * pow(den, P - 2, P) % P])
-    return FpArray(jnp.asarray(_mont_np(col)))
+    return _mont_np(col)

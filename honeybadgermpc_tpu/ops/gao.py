@@ -104,7 +104,7 @@ def _gao_kernel(m: int, k: int, xs: tuple):
     n_eea = 2 * m            # each step drops max(d0,d1) by >= 1
     vand = np.asarray([[pow(x, i, P) * R_MOD_P % P for x in xs]
                        for i in range(M)], dtype=object)
-    vand_l = jnp.asarray(ints_to_limbs(vand))              # [L, M, m]
+    vand_np = ints_to_limbs(vand)        # [L, M, m] numpy (no tracer leak)
 
     @jax.jit
     def kernel(g1_limbs, g0):
@@ -180,7 +180,7 @@ def _gao_kernel(m: int, k: int, xs: tuple):
     def _vand_eval(f_limbs):
         # f[..., M] @ vand[M, m] evaluated via the fpmatmul kernel
         from .fpmatmul import _matmul_kernel
-        return _matmul_kernel(f_limbs, vand_l)
+        return _matmul_kernel(f_limbs, jnp.asarray(vand_np))
 
     def wrapper(g1_limbs, g0):
         f, reenc, ok = kernel(g1_limbs, g0)

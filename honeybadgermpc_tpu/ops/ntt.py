@@ -55,11 +55,11 @@ def _twiddles(omega: int, n: int):
 def _ntt_kernel(omega: int, n: int):
     """Jitted limbs[L, ..., n] -> limbs[L, ..., n] natural-order DIT NTT."""
     stages = _twiddles(omega, n)
-    perm = jnp.asarray(_bitrev_perm(n))
+    perm = _bitrev_perm(n)  # numpy: converted inside the traced body
 
     @jax.jit
     def kernel(limbs):
-        x = jnp.take(limbs, perm, axis=-1)
+        x = jnp.take(limbs, jnp.asarray(perm), axis=-1)
         nb = x.ndim - 2  # batch dims between limb axis and transform axis
         for s, tw in enumerate(stages):
             m = 2 << s
@@ -67,7 +67,8 @@ def _ntt_kernel(omega: int, n: int):
             shp = x.shape[:-1] + (n // m, m)
             v = x.reshape(shp)
             lo, hi = v[..., :half], v[..., half:]
-            twb = jnp.asarray(tw).reshape((L,) + (1,) * (nb + 1) + (half,))
+            twb = jnp.asarray(np.asarray(tw)).reshape(
+                (L,) + (1,) * (nb + 1) + (half,))
             t = mont.mont_mul(jnp.broadcast_to(twb, hi.shape), hi)
             top = mont.add_mod(lo, t)
             bot = mont.sub_mod(lo, t)

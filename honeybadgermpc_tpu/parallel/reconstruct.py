@@ -1,0 +1,155 @@
+"""Batch reconstruction (the hot path) as a two-round collective program.
+
+TPU redesign of the reference's batch_reconstruct
+(honeybadgermpc/batch_reconstruction.py:88-227, call stack SURVEY §3.1) and
+robust_reconstruction.py. The asyncio fetch-one/IncrementalDecoder machinery
+becomes a synchronous SPMD program:
+
+  R1: chunk own B shares into C = B/(t+1) polynomial chunks, encode at all n
+      party points, ALL_TO_ALL the columns (the per-party send fan-out of
+      batch_reconstruction.py:164-167 over ICI);
+      each party robustly decodes its chunk-polynomials psi_j and evaluates
+      at 0 -> S_c(x_j).
+  R2: ALL_GATHER those values (the R2 constant broadcast :194-197); decode
+      S_c (degree t) -> chunk coefficients = the secrets.
+
+Fault tolerance: the optimistic path erasure-decodes from the first t+1
+shares and validates against the rest (IncrementalDecoder's fast path,
+reed_solomon.py:305-332); one lax.cond falls back to the Gao error-locating
+decoder when any share disagrees — the whole batch pays the robust cost only
+when faults actually occur.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import montgomery as mont
+from ..ops.fparray import FpArray
+from ..ops.gao import gao_robust_decode
+from ..ops.rs import Encoding
+from .mesh import MeshBackend, SimBackend
+
+
+def _decode_block(enc: Encoding, ys: FpArray, k: int, robust: bool):
+    """Decode message coeffs [..., k] from all-n shares ys[..., n] with the
+    optimistic-then-Gao strategy. Returns (coeffs, n_errors[...])."""
+    n = enc.n
+    zs_fast = tuple(range(k))
+    zs_rest = tuple(range(k, n))
+
+    fast = enc.decode(zs_fast, FpArray(ys.limbs[..., :k]))
+
+    if not robust:
+        return fast, jnp.zeros(ys.shape[:-1], jnp.int32)
+
+    # validate: re-encode and compare against the remaining shares
+    reenc = enc.encode(fast)
+    agree = reenc.eq(ys)                        # [..., n]
+    all_ok = jnp.all(agree)
+
+    def fallback(_):
+        coeffs, reenc2, ok = gao_robust_decode(enc, tuple(range(n)), ys, k)
+        errs = jnp.sum(~reenc2.eq(ys), axis=-1).astype(jnp.int32)
+        return coeffs.limbs, errs
+
+    def fastpath(_):
+        return fast.limbs, jnp.zeros(ys.shape[:-1], jnp.int32)
+
+    limbs, errs = jax.lax.cond(all_ok, fastpath, fallback, operand=None)
+    return FpArray(limbs), errs
+
+
+def batch_reconstruct(backend, shares: FpArray, n: int, t: int,
+                      use_omega_powers: bool = False, robust: bool = True):
+    """Open a batch of B secrets from degree-t shares.
+
+    ``shares``: per-party local [..., B] (SimBackend: leading party axis so
+    [n, B]; MeshBackend inside shard_map: [B]). B must be a multiple of t+1
+    (callers pad — preprocessing zeros are free).
+    Returns (secrets [..., B] — every party gets all secrets — and
+    total error count per party)."""
+    k = t + 1
+    B = shares.shape[-1]
+    assert B % k == 0, f"batch {B} must be a multiple of t+1={k}"
+    C = B // k
+    enc = Encoding(n, use_omega_powers=use_omega_powers)
+
+    # R1: encode chunk coefficients at all party points
+    coeffs = shares.reshape(shares.shape[:-1] + (C, k))
+    cols = enc.encode(coeffs)                    # [..., C, n]
+    recv = backend.all_to_all(cols)              # [..., C, n] (psi_j shares)
+    psi_coeffs, err1 = _decode_block(enc, recv, t + 1, robust)
+    vals = FpArray(psi_coeffs.limbs[..., 0])     # psi_j(0) = S_c(x_j): [..., C]
+
+    # R2: everyone shares its S_c(x_j); decode S_c -> secrets
+    gathered = backend.all_gather(vals)          # [..., C, n]
+    sec_coeffs, err2 = _decode_block(enc, gathered, k, robust)
+    secrets = sec_coeffs.reshape(sec_coeffs.shape[:-2] + (B,))
+    nerr = jnp.sum(err1, axis=-1) + jnp.sum(err2, axis=-1)
+    return secrets, nerr
+
+
+def robust_open_single(backend, share: FpArray, n: int, t: int,
+                       use_omega_powers: bool = False, robust: bool = True):
+    """Open scalar secrets (shares [..., S] treated pointwise): broadcast own
+    share, robust-interpolate at 0 (reference robust_reconstruction.py:14 /
+    mpc.py open_share :101). Far less efficient than batch_reconstruct —
+    use for control values."""
+    gathered = backend.all_gather(share)         # [..., S, n]
+    enc = Encoding(n, use_omega_powers=use_omega_powers)
+    coeffs, errs = _decode_block(enc, gathered, t + 1, robust)
+    return FpArray(coeffs.limbs[..., 0]), errs
+
+
+def make_sharded_reconstruct(mesh, n: int, t: int,
+                             use_omega_powers: bool = False,
+                             robust: bool = True):
+    """Build the jitted multi-chip reconstruction step: global shares
+    [n, B] sharded over the 'parties' mesh axis -> (secrets [n, B], errors
+    [n]). The program inside shard_map is identical to the SimBackend
+    version; only the collectives differ (ICI all_to_all/all_gather)."""
+    from jax.sharding import PartitionSpec as P
+
+    backend = MeshBackend(n)
+
+    def local_fn(limbs):                     # local [L, 1, B]
+        shares = FpArray(limbs[:, 0])
+        secrets, nerr = batch_reconstruct(
+            backend, shares, n, t, use_omega_powers, robust)
+        return secrets.limbs[:, None], nerr[None]
+
+    f = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, "parties", None),),
+        out_specs=(P(None, "parties", None), P("parties")),
+        # the decode kernels' lax.scan carries start as replicated zeros and
+        # become party-varying after absorbing data; skip the vma check
+        # rather than threading pvary through every kernel
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(shares: FpArray):
+        sec, nerr = f(shares.limbs)
+        return FpArray(sec), nerr
+
+    return run
+
+
+def inject_share_faults(shares: FpArray, party_ids, fault_parties, key):
+    """Fault injection for tests/benchmarks (config.py induce_faults /
+    mpc.py:126-131): listed parties replace their shares with random field
+    elements. party_ids: int32 array broadcastable to shares' party axis."""
+    r = FpArray.rand(key, shares.shape)
+    bad = jnp.zeros_like(party_ids, dtype=bool)
+    for p in fault_parties:
+        bad = bad | (party_ids == p)
+    while bad.ndim < shares.ndim:
+        bad = bad[..., None]
+    return FpArray.select(jnp.broadcast_to(bad, shares.shape), r, shares)

@@ -1,0 +1,94 @@
+"""Batch reconstruction end-to-end: simulated n-party network and real
+shard_map over the 8-device CPU mesh (mirrors reference
+tests/test_batch_reconstruction.py incl. fault grids)."""
+
+import jax
+import numpy as np
+import pytest
+
+from honeybadgermpc_tpu.ops.fparray import FpArray
+from honeybadgermpc_tpu.ops.limbs import P
+from honeybadgermpc_tpu.ops.rs import Encoding
+from honeybadgermpc_tpu.parallel.mesh import MeshBackend, SimBackend, party_mesh
+from honeybadgermpc_tpu.parallel.reconstruct import (batch_reconstruct,
+                                                     inject_share_faults,
+                                                     make_sharded_reconstruct,
+                                                     robust_open_single)
+
+
+def deal(rng, enc, t, B):
+    """Dealer: B random secrets -> shares[n, B] (degree t)."""
+    secrets = [rng.randrange(P) for _ in range(B)]
+    coeffs = [[s] + [rng.randrange(P) for _ in range(t)] for s in secrets]
+    sh = enc.encode(FpArray.from_ints(coeffs))        # [B, n]
+    return secrets, sh.transpose((1, 0))              # [n, B]
+
+
+@pytest.mark.parametrize("n,t", [(4, 1), (7, 2)])
+@pytest.mark.parametrize("use_fft", [False, True])
+def test_sim_batch_reconstruct_faultfree(rng, n, t, use_fft):
+    B = 4 * (t + 1)
+    enc = Encoding(n, use_omega_powers=use_fft)
+    secrets, shares = deal(rng, enc, t, B)
+    backend = SimBackend(n)
+    got, nerr = batch_reconstruct(backend, shares, n, t,
+                                  use_omega_powers=use_fft)
+    assert np.asarray(nerr).tolist() == [0] * n
+    out = got.to_ints()
+    for j in range(n):
+        assert list(out[j]) == secrets
+
+
+@pytest.mark.parametrize("n,t,bad", [(4, 1, [2]), (7, 2, [0, 5])])
+def test_sim_batch_reconstruct_with_faults(rng, n, t, bad):
+    B = 2 * (t + 1)
+    enc = Encoding(n)
+    secrets, shares = deal(rng, enc, t, B)
+    backend = SimBackend(n)
+    ids = backend.my_ids()
+    faulty = inject_share_faults(shares, ids, bad, jax.random.PRNGKey(3))
+    got, nerr = batch_reconstruct(backend, faulty, n, t)
+    out = got.to_ints()
+    for j in range(n):
+        assert list(out[j]) == secrets, f"party {j}"
+    # at least one party observed errors
+    assert int(np.asarray(nerr).sum()) > 0
+
+
+def test_robust_open_single(rng):
+    n, t, S = 7, 2, 3
+    enc = Encoding(n)
+    secrets, shares = deal(rng, enc, t, S)
+    backend = SimBackend(n)
+    got, _ = robust_open_single(backend, shares, n, t)
+    for j in range(n):
+        assert list(got.to_ints()[j]) == secrets
+
+
+def test_sharded_reconstruct_matches_sim(rng):
+    n, t = 4, 1
+    B = 4 * (t + 1)
+    enc = Encoding(n)
+    secrets, shares = deal(rng, enc, t, B)
+    mesh = party_mesh(n)
+    run = make_sharded_reconstruct(mesh, n, t)
+    got, nerr = run(shares)
+    out = got.to_ints()
+    for j in range(n):
+        assert list(out[j]) == secrets
+    assert np.asarray(nerr).tolist() == [0] * n
+
+
+def test_sharded_reconstruct_with_faults(rng):
+    n, t = 4, 1
+    B = 2 * (t + 1)
+    enc = Encoding(n)
+    secrets, shares = deal(rng, enc, t, B)
+    ids = SimBackend(n).my_ids()
+    faulty = inject_share_faults(shares, ids, [1], jax.random.PRNGKey(7))
+    mesh = party_mesh(n)
+    run = make_sharded_reconstruct(mesh, n, t)
+    got, nerr = run(faulty)
+    for j in range(n):
+        assert list(got.to_ints()[j]) == secrets
+    assert int(np.asarray(nerr).sum()) > 0
