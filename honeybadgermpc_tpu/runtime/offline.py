@@ -1,0 +1,155 @@
+"""Offline preprocessing protocols: RanDouSha, triples, bits.
+
+TPU redesign of the reference's offline_randousha.py (randousha :34-151,
+generate_triples :154-191, generate_bits :194-232 — HyperMPC-style linear-
+overhead preprocessing). The asyncio tag-multiplexed exchanges (H1/H2/H3)
+become three collective steps:
+
+  H1  deal:    every party Shamir-shares k secrets at degrees t and 2t
+               (one batched encode each) and ALL_TO_ALLs the share columns.
+  ext extract: the n received shares per slot are treated as POLYNOMIAL
+               COEFFICIENTS and re-encoded at the n party points — the
+               hyperinvertible-matrix multiply (offline_randousha.py:74-78)
+               is exactly a Vandermonde matmul.
+  H2/H3 check: the last n-(n-2t) output columns are opened (they are
+               discarded anyway) and verified: degree-t/2t consistency and
+               equality of both secrets; any error aborts (unanimity vote).
+
+Outputs: n-2t double sharings per input slot, secrecy t against the
+Byzantine threshold — same parameters as the reference (big_t = n-2t-1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fparray import FpArray
+from ..ops.limbs import P
+from ..ops.rs import Encoding
+from ..parallel.mesh import SimBackend
+from ..parallel.reconstruct import batch_reconstruct
+from .context import MpcContext, ShareArray
+
+
+def _deal_own(enc: Encoding, secrets: FpArray, degree: int, key) -> FpArray:
+    """Share own secrets[..., k] at the given degree -> [..., k, n] columns
+    (column j goes to party j)."""
+    k = secrets.shape[-1]
+    hi = FpArray.rand(key, secrets.shape + (degree,))
+    coeffs = FpArray.concatenate(
+        [FpArray(secrets.limbs[..., None]), hi], axis=secrets.ndim)
+    return enc.encode(coeffs)
+
+
+def _open_columns(backend, cols: FpArray, n: int, degree: int):
+    """Open sharings held column-wise: cols[party, ..., C] -> (values, nerr).
+    Flattens trailing dims and pads to the chunk size."""
+    shape = cols.shape  # sim: (n, k, C)
+    flat = cols.reshape(shape[:1] + (int(np.prod(shape[1:])),)) \
+        if isinstance(backend, SimBackend) else cols.reshape((int(np.prod(shape)),))
+    k = degree + 1
+    B = flat.shape[-1]
+    pad = (-B) % k
+    if pad:
+        flat = FpArray.concatenate(
+            [flat, FpArray.zeros(flat.shape[:-1] + (pad,))], axis=flat.ndim - 1)
+    vals, nerr = batch_reconstruct(backend, flat, n, degree, robust=True)
+    vals = FpArray(vals.limbs[..., :B])
+    out_shape = shape[:1] + shape[1:] if isinstance(backend, SimBackend) else shape
+    return vals.reshape(out_shape), nerr
+
+
+def randousha(backend, n: int, t: int, k: int, key):
+    """Generate k*(n-2t) double sharings (r_t, r_2t) with verification.
+
+    backend: SimBackend (shares carry leading party axis) or MeshBackend.
+    Returns (r_t [party.., k*(n-2t)], r_2t, ok) — ok False means some party
+    dealt inconsistently and the batch must be discarded (ABORT vote,
+    offline_randousha.py:133-146)."""
+    enc = Encoding(n)
+    sim = isinstance(backend, SimBackend)
+    lead = (n,) if sim else ()
+    key, k1, k2, k3 = jax.random.split(key, 4)
+    secrets = FpArray.rand(k1, lead + (k,))
+
+    sh_t = _deal_own(enc, secrets, t, k2)          # [.., k, n]
+    sh_2t = _deal_own(enc, secrets, 2 * t, k3)
+    recv_t = backend.all_to_all(sh_t)              # [.., k, n] dealer-indexed
+    recv_2t = backend.all_to_all(sh_2t)
+
+    # hyperinvertible extraction: received vector (over dealers) = coeffs
+    out_t = enc.encode(recv_t)                     # [.., k, n] output-indexed
+    out_2t = enc.encode(recv_2t)
+
+    n_out = n - 2 * t                              # big_t + 1 outputs kept
+    keep_t = FpArray(out_t.limbs[..., :n_out])
+    keep_2t = FpArray(out_2t.limbs[..., :n_out])
+    check_t = FpArray(out_t.limbs[..., n_out:])
+    check_2t = FpArray(out_2t.limbs[..., n_out:])
+
+    # verification: open discarded columns at both degrees; abort on any
+    # decode error or secret mismatch
+    v_t, e_t = _open_columns(backend, check_t, n, t)
+    v_2t, e_2t = _open_columns(backend, check_2t, n, 2 * t)
+    equal = v_t.eq(v_2t)
+    ok = jnp.all(equal) & (jnp.sum(e_t) == 0) & (jnp.sum(e_2t) == 0)
+
+    flat = lead + (k * n_out,)
+    return keep_t.reshape(flat), keep_2t.reshape(flat), ok
+
+
+def generate_triples(backend, n: int, t: int, k: int, key):
+    """Beaver triples from RanDouSha (offline_randousha.py:154-191): draw
+    3k double sharings; use (a, b, r): open a*b + r at degree 2t, subtract
+    r_t. Returns (a, b, ab) share tensors [party.., k] and ok flag."""
+    r_t, r_2t, ok = randousha(backend, n, t, 3 * k, key)
+    m = r_t.shape[-1]
+    cnt = m // 3
+    a = FpArray(r_t.limbs[..., :cnt])
+    b = FpArray(r_t.limbs[..., cnt:2 * cnt])
+    rt = FpArray(r_t.limbs[..., 2 * cnt:3 * cnt])
+    r2t = FpArray(r_2t.limbs[..., 2 * cnt:3 * cnt])
+
+    ab_plus_r = a * b + r2t                         # local degree-2t share
+    opened, nerr = _open_columns(backend, _as_cols(backend, ab_plus_r), n, 2 * t)
+    opened = _from_cols(backend, opened)
+    ab = opened - rt                                # degree-t share of ab
+    ok = ok & (jnp.sum(nerr) == 0)
+    return a, b, ab, ok
+
+
+def generate_bits(backend, n: int, t: int, k: int, key):
+    """Random shared bits via the u/sqrt(u^2) trick
+    (offline_randousha.py:194-232). Returns (bits [party.., m], ok)."""
+    r_t, r_2t, ok = randousha(backend, n, t, 2 * k, key)
+    m = r_t.shape[-1]
+    cnt = m // 2
+    u = FpArray(r_t.limbs[..., :cnt])
+    rt = FpArray(r_t.limbs[..., cnt:2 * cnt])
+    r2t = FpArray(r_2t.limbs[..., cnt:2 * cnt])
+
+    # open u^2 (masked at 2t then unmasked publicly: u2 = open(u*u + r_2t) - open(r)…
+    # simpler: open u*u + r_2t, then subtract r_t and open again)
+    u2_masked = u * u + r2t
+    opened, e1 = _open_columns(backend, _as_cols(backend, u2_masked), n, 2 * t)
+    u2_share = _from_cols(backend, opened) - rt     # degree-t share of u^2
+    u2, e2 = _open_columns(backend, _as_cols(backend, u2_share), n, t)
+    u2 = _from_cols(backend, u2)                    # public u^2
+
+    root, has_root = u2.sqrt()                      # canonical root
+    # bit = (u/root + 1) / 2  in {0, 1}; u == ±root
+    inv2 = FpArray.from_int(pow(2, P - 2, P))
+    sign = u * root.inv()                           # share of ±1
+    bits = (sign + FpArray.from_int(1)) * inv2
+    ok = ok & (jnp.sum(e1) == 0) & (jnp.sum(e2) == 0) & jnp.all(has_root)
+    return bits, ok
+
+
+def _as_cols(backend, x: FpArray) -> FpArray:
+    return x
+
+
+def _from_cols(backend, x: FpArray) -> FpArray:
+    return x

@@ -1,0 +1,220 @@
+"""Trusted-dealer preprocessing, device-accelerated.
+
+TPU redesign of the reference's PreProcessedElements
+(honeybadgermpc/preprocessing.py: mixin ABC :39, generation via
+vandermonde_batch_evaluate :211-239, kinds :299-496, facade :498-669).
+Instead of writing per-party share FILES, the dealer generates whole share
+tensors [n, count] on device (dealing = one batched encode — exactly the
+reference's generation kernel, minus the file round-trip) and the runtime
+consumes them cursor-style. ``save``/``load`` provide the file-backed
+variant for cross-process runs (sharedata/ parity).
+
+Kinds (reference names preserved): triples, cubes, zeros, rands, bits,
+one_minus_ones, double_shares, share_bits, powers, share.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fparray import FpArray
+from ..ops.limbs import P
+from ..ops.rs import Encoding
+
+
+class _Pool:
+    """A consumable pool of dealt share tensors, each [n, capacity, ...]."""
+
+    def __init__(self):
+        self.data: FpArray | None = None
+        self.cursor = 0
+
+    def put(self, arr: FpArray):
+        if self.data is None:
+            self.data = arr
+        else:
+            self.data = FpArray.concatenate([self.data, arr], axis=1)
+
+    def take(self, k: int) -> FpArray:
+        assert self.data is not None and self.cursor + k <= self.data.shape[1], \
+            f"preprocessing pool exhausted (have {0 if self.data is None else self.data.shape[1]-self.cursor}, want {k})"
+        out = FpArray(self.data.limbs[:, :, self.cursor:self.cursor + k])
+        self.cursor += k
+        return out
+
+    def remaining(self):
+        return 0 if self.data is None else self.data.shape[1] - self.cursor
+
+
+class PreProcessedElements:
+    """Dealer for (n, t); all kinds share one PRNG stream (seeded, so runs
+    are reproducible like the reference's seeded dealer files)."""
+
+    def __init__(self, n: int, t: int, seed: int = 0,
+                 use_omega_powers: bool = False):
+        self.n, self.t = n, t
+        self.enc = Encoding(n, use_omega_powers=use_omega_powers)
+        self._key = jax.random.PRNGKey(seed)
+        self._pools: dict[str, _Pool] = {}
+
+    def _next_key(self, num=1):
+        self._key, *ks = jax.random.split(self._key, num + 1)
+        return ks if num > 1 else ks[0]
+
+    def _pool(self, kind: str) -> _Pool:
+        return self._pools.setdefault(kind, _Pool())
+
+    # -- dealing kernels ---------------------------------------------------
+    def _share_values(self, values: FpArray, degree: int | None = None) -> FpArray:
+        """values[B] -> shares[n, B] via random degree-t polys (the
+        reference's generation loop, preprocessing.py:211-239, as one
+        batched encode)."""
+        degree = self.t if degree is None else degree
+        B = values.shape[-1]
+        key = self._next_key()
+        hi = FpArray.rand(key, (B, degree))
+        coeffs = FpArray.concatenate([values.reshape(B, 1), hi], axis=1)
+        return self.enc.encode(coeffs).transpose((1, 0))      # [n, B]
+
+    # -- generators (reference generate_* API) -----------------------------
+    def generate_triples(self, k: int):
+        ka, kb = self._next_key(2)
+        a = FpArray.rand(ka, (k,))
+        b = FpArray.rand(kb, (k,))
+        ab = a * b
+        sh = FpArray.stack(
+            [self._share_values(a), self._share_values(b),
+             self._share_values(ab)], axis=2)                  # [n, k, 3]
+        self._pool("triples").put(sh)
+
+    def generate_cubes(self, k: int):
+        r = FpArray.rand(self._next_key(), (k,))
+        r2 = r * r
+        r3 = r2 * r
+        sh = FpArray.stack(
+            [self._share_values(r), self._share_values(r2),
+             self._share_values(r3)], axis=2)
+        self._pool("cubes").put(sh)
+
+    def generate_rands(self, k: int):
+        r = FpArray.rand(self._next_key(), (k,))
+        self._pool("rands").put(self._share_values(r).reshape(self.n, k, 1))
+
+    def generate_zeros(self, k: int):
+        z = FpArray.zeros((k,))
+        self._pool("zeros").put(self._share_values(z).reshape(self.n, k, 1))
+
+    def generate_bits(self, k: int):
+        bits = jax.random.bernoulli(self._next_key(), shape=(k,))
+        b = FpArray.select(bits, FpArray.ones((k,)).broadcast_to((k,)),
+                           FpArray.zeros((k,)).broadcast_to((k,)))
+        self._pool("bits").put(self._share_values(b).reshape(self.n, k, 1))
+
+    def generate_one_minus_ones(self, k: int):
+        bits = jax.random.bernoulli(self._next_key(), shape=(k,))
+        pm = FpArray.select(bits, FpArray.ones((k,)).broadcast_to((k,)),
+                            FpArray.from_int(P - 1, (k,)))
+        self._pool("one_minus_ones").put(
+            self._share_values(pm).reshape(self.n, k, 1))
+
+    def generate_double_shares(self, k: int):
+        """(r_t, r_2t) pairs (preprocessing.py:330)."""
+        r = FpArray.rand(self._next_key(), (k,))
+        sh = FpArray.stack(
+            [self._share_values(r, self.t),
+             self._share_values(r, 2 * self.t)], axis=2)       # [n, k, 2]
+        self._pool("double_shares").put(sh)
+
+    def generate_share_bits(self, k: int, bit_length: int = 255):
+        """r plus its bit decomposition (preprocessing.py:299: stride 255+1)."""
+        import random as _r
+        rng = _r.Random(int(jax.random.randint(
+            self._next_key(), (), 0, 2**31 - 1)))
+        rs = [rng.randrange(P) for _ in range(k)]
+        cols = []
+        for r in rs:
+            cols.append([r] + [(r >> i) & 1 for i in range(bit_length)])
+        vals = FpArray.from_ints(cols)                         # [k, 1+bits]
+        flat = vals.reshape(k * (bit_length + 1))
+        sh = self._share_values(flat).reshape(self.n, k, bit_length + 1)
+        self._pool("share_bits").put(sh)
+
+    def generate_powers(self, x_count: int, k: int):
+        """x_count independent x's, each with powers x^1..x^k
+        (preprocessing.py:350)."""
+        x = FpArray.rand(self._next_key(), (x_count,))
+        pows = [x]
+        for _ in range(k - 1):
+            pows.append(pows[-1] * x)
+        stacked = FpArray.stack(pows, axis=1).reshape(x_count * k)
+        sh = self._share_values(stacked).reshape(self.n, x_count, k)
+        self._pool("powers").put(sh)
+
+    def generate_share(self, value: int, degree: int | None = None):
+        v = FpArray.from_ints([value])
+        sh = self._share_values(v, degree).reshape(self.n, 1, 1)
+        self._pool(f"share_d{degree or self.t}").put(sh)
+
+    # -- consumers (get_* API; shapes [n, k, parts]) ------------------------
+    def get_triples(self, k: int):
+        s = self._pool("triples").take(k)
+        return (FpArray(s.limbs[..., 0]), FpArray(s.limbs[..., 1]),
+                FpArray(s.limbs[..., 2]))
+
+    def get_cubes(self, k: int):
+        s = self._pool("cubes").take(k)
+        return (FpArray(s.limbs[..., 0]), FpArray(s.limbs[..., 1]),
+                FpArray(s.limbs[..., 2]))
+
+    def get_rands(self, k: int):
+        return FpArray(self._pool("rands").take(k).limbs[..., 0])
+
+    def get_zeros(self, k: int):
+        return FpArray(self._pool("zeros").take(k).limbs[..., 0])
+
+    def get_bits(self, k: int):
+        return FpArray(self._pool("bits").take(k).limbs[..., 0])
+
+    def get_one_minus_ones(self, k: int):
+        return FpArray(self._pool("one_minus_ones").take(k).limbs[..., 0])
+
+    def get_double_shares(self, k: int):
+        s = self._pool("double_shares").take(k)
+        return FpArray(s.limbs[..., 0]), FpArray(s.limbs[..., 1])
+
+    def get_share_bits(self, k: int):
+        s = self._pool("share_bits").take(k)
+        return FpArray(s.limbs[..., 0]), FpArray(s.limbs[..., 1:])
+
+    def get_powers(self, k: int):
+        return self._pool("powers").take(k)
+
+    def get_share(self, degree: int | None = None):
+        return FpArray(self._pool(f"share_d{degree or self.t}").take(1).limbs[..., 0, 0])
+
+    # -- persistence (sharedata/ parity) ------------------------------------
+    def save(self, path: str):
+        os.makedirs(path, exist_ok=True)
+        for kind, pool in self._pools.items():
+            if pool.data is None:
+                continue
+            np.save(os.path.join(path, f"{kind}_{self.n}_{self.t}.npy"),
+                    np.asarray(jax.device_get(pool.data.limbs)))
+            with open(os.path.join(path, f"{kind}_{self.n}_{self.t}.meta"), "wb") as f:
+                pickle.dump({"cursor": pool.cursor}, f)
+
+    def load(self, path: str):
+        import glob
+        for fn in glob.glob(os.path.join(path, f"*_{self.n}_{self.t}.npy")):
+            kind = os.path.basename(fn).rsplit(f"_{self.n}_{self.t}.npy", 1)[0]
+            pool = self._pool(kind)
+            pool.data = FpArray(jnp.asarray(np.load(fn)))
+            meta = fn[:-4] + ".meta"
+            if os.path.exists(meta):
+                with open(meta, "rb") as f:
+                    pool.cursor = pickle.load(f)["cursor"]

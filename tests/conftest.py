@@ -43,9 +43,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_hbmpc")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# NOTE: jax's persistent compilation cache is deliberately NOT enabled:
+# XLA:CPU AOT deserialization on this build segfaults nondeterministically
+# on reload (cpu_aot_loader machine-feature mismatch). Cold compiles are
+# parallelized across pytest-xdist workers instead (see pytest.ini).
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 import random
 
