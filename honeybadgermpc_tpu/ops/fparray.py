@@ -154,7 +154,12 @@ class FpArray:
         return self.transpose()
 
     def broadcast_to(self, shape):
-        return FpArray(jnp.broadcast_to(self.limbs, (L,) + tuple(shape)))
+        shape = tuple(shape)
+        limbs = self.limbs
+        if self.ndim < len(shape):
+            limbs = limbs.reshape(
+                (L,) + (1,) * (len(shape) - self.ndim) + self.shape)
+        return FpArray(jnp.broadcast_to(limbs, (L,) + shape))
 
     def take(self, indices, axis=0):
         indices = jnp.asarray(indices)

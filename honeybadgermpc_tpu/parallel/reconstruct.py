@@ -52,10 +52,40 @@ def _decode_block(enc: Encoding, ys: FpArray, k: int, robust: bool):
     agree = reenc.eq(ys)                        # [..., n]
     all_ok = jnp.all(agree)
 
+    # The Gao fallback's EEA state is ~10x the data size; running it over
+    # the whole chunk batch at once OOMs HBM at the n=64 / 2^16-share
+    # benchmark shape. Segment the chunk axis with lax.map (sequential, one
+    # segment live at a time) — it is the rare faulty path, so its latency
+    # is irrelevant; only its peak memory matters.
+    SEG = 256
+
     def fallback(_):
-        coeffs, reenc2, ok = gao_robust_decode(enc, tuple(range(n)), ys, k)
-        errs = jnp.sum(~reenc2.eq(ys), axis=-1).astype(jnp.int32)
-        return coeffs.limbs, errs
+        from .mesh import SimBackend  # noqa: F401 (doc cross-ref)
+        limbs = ys.limbs                              # [L, ..., C, n]
+        C = limbs.shape[-2]
+        nseg = max(1, -(-C // SEG))
+        pad = nseg * SEG - C
+        if pad:
+            limbs = jnp.concatenate(
+                [limbs, jnp.zeros(limbs.shape[:-2] + (pad, n), jnp.uint32)],
+                axis=-2)
+        segs = jnp.moveaxis(
+            limbs.reshape(limbs.shape[:-2] + (nseg, SEG, n)),
+            -3, 0)                                    # [nseg, L, ..., SEG, n]
+
+        def seg_fn(seg_limbs):
+            coeffs, reenc2, ok = gao_robust_decode(
+                enc, tuple(range(n)), FpArray(seg_limbs), k)
+            errs = jnp.sum(~reenc2.eq(FpArray(seg_limbs)),
+                           axis=-1).astype(jnp.int32)
+            return coeffs.limbs, errs
+
+        out, errs = jax.lax.map(seg_fn, segs)
+        out = jnp.moveaxis(out, 0, -3)
+        out = out.reshape(out.shape[:-3] + (nseg * SEG, k))[..., :C, :]
+        errs = jnp.moveaxis(errs, 0, -2)
+        errs = errs.reshape(errs.shape[:-2] + (nseg * SEG,))[..., :C]
+        return out, errs
 
     def fastpath(_):
         return fast.limbs, jnp.zeros(ys.shape[:-1], jnp.int32)

@@ -145,26 +145,51 @@ class ShareArray:
 
 def beaver_multiply_arrays(ctx: "MpcContext", x: ShareArray, y: ShareArray):
     """share_arithmetic.py:24 BeaverMultiplyArrays: one parallel open of
-    (x-a, y-b); xy = de + db + ea + ab."""
-    k = _numel(ctx, x)
-    a, b, ab = ctx.preproc_triples(k, x)
-    both = ShareArray.concat([x - a, y - b], axis=x_last_axis(ctx, x))
+    (x-a, y-b); xy = de + db + ea + ab. Arbitrary element shapes: the
+    element axes are flattened against the triple pool and restored."""
+    xf, shape = _flatten_elements(ctx, x)
+    yf, _ = _flatten_elements(ctx, y)
+    k = xf.v.shape[-1]
+    a, b, ab = ctx.preproc_triples(k, xf)
+    both = ShareArray.concat([xf - a, yf - b], axis=x_last_axis(ctx, xf))
     opened = ctx.open_share_array(both)
     d, e = _split2(ctx, opened, k)
     d, e = FpArray(d), FpArray(e)
-    return ShareArray(ctx, d * e + d * b.v + e * a.v + ab.v, x.t)
+    out = ShareArray(ctx, d * e + d * b.v + e * a.v + ab.v, x.t)
+    return _unflatten_elements(ctx, out, shape)
 
 
 def invert_share_array(ctx: "MpcContext", x: ShareArray):
     """share_arithmetic.py:120 InvertShareArray: open r*x, return r/(rx)."""
-    k = _numel(ctx, x)
-    r = ctx.preproc_rands(k, x)
-    rx = ctx.open_share_array(beaver_multiply_arrays(ctx, r, x))
-    return ShareArray(ctx, r.v * rx.inv(), x.t)
+    xf, shape = _flatten_elements(ctx, x)
+    k = xf.v.shape[-1]
+    r = ctx.preproc_rands(k, xf)
+    rx = ctx.open_share_array(beaver_multiply_arrays(ctx, r, xf))
+    out = ShareArray(ctx, r.v * rx.inv(), x.t)
+    return _unflatten_elements(ctx, out, shape)
 
 
 def divide_share_arrays(ctx: "MpcContext", x: ShareArray, y: ShareArray):
     return beaver_multiply_arrays(ctx, x, invert_share_array(ctx, y))
+
+
+def _flatten_elements(ctx, x: ShareArray):
+    """[party?, *S] -> ([party?, prod(S)], S)."""
+    lead = x.v.shape[:1] if ctx.sim else ()
+    shape = x.v.shape[1:] if ctx.sim else x.v.shape
+    total = 1
+    for d in shape:
+        total *= d
+    if len(shape) == 1:
+        return x, shape
+    return ShareArray(ctx, x.v.reshape(lead + (total,)), x.t), shape
+
+
+def _unflatten_elements(ctx, x: ShareArray, shape):
+    if len(shape) == 1:
+        return x
+    lead = x.v.shape[:1] if ctx.sim else ()
+    return ShareArray(ctx, x.v.reshape(lead + tuple(shape)), x.t)
 
 
 def x_last_axis(ctx, x: ShareArray):

@@ -1,0 +1,91 @@
+"""Jubjub shared-point programs and comparison mixins vs plaintext oracle
+(mirrors reference tests/progs/test_jubjub.py and
+tests/progs/mixins/test_share_comparison.py)."""
+
+import numpy as np
+import pytest
+
+from honeybadgermpc_tpu.elliptic_curve import Ideal, Point
+from honeybadgermpc_tpu.models.jubjub import SharedPoint, share_mul
+from honeybadgermpc_tpu.ops.fparray import FpArray
+from honeybadgermpc_tpu.ops.limbs import P
+from honeybadgermpc_tpu.runtime.comparison import install
+from honeybadgermpc_tpu.runtime.context import MpcContext
+from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
+
+# The reference's standard test point (tests/progs/test_jubjub.py:23-27)
+TEST_POINT = (
+    5,
+    6846412461894745224441235558443359243034138132682534265960483512729196124138,
+)
+
+
+@pytest.fixture
+def ctx():
+    n, t = 4, 1
+    pre = PreProcessedElements(n, t, seed=17)
+    pre.generate_triples(4096)
+    pre.generate_rands(512)
+    pre.generate_bits(512)
+    return install(MpcContext(n, t, preproc=pre))
+
+
+def shared_from(ctx, p: Point, B=1):
+    return SharedPoint.from_point(ctx, p, (B,))
+
+
+def opened_point(sp, curve):
+    x, y = sp.open()
+    return Point(int(x.to_ints()[0][0]), int(y.to_ints()[0][0]), curve)
+
+
+def test_shared_add_double_neg(ctx):
+    p = Point(*TEST_POINT)
+    sp = shared_from(ctx, p)
+    assert opened_point(sp.add(sp), p.curve) == p.double()
+    assert opened_point(sp.double(), p.curve) == p.double()
+    assert opened_point(sp.neg(), p.curve) == -p
+    assert opened_point(sp.sub(sp.neg()), p.curve) == p.double()
+
+
+@pytest.mark.parametrize("k", [0, 1, 2, 5, 64])
+def test_shared_scalar_mul(ctx, k):
+    p = Point(*TEST_POINT)
+    sp = shared_from(ctx, p)
+    got = sp.mul(k)
+    want = p * k
+    if k == 0:
+        assert isinstance(want, Ideal)
+        return
+    assert opened_point(got, p.curve) == want
+
+
+def test_montgomery_mul(ctx):
+    p = Point(*TEST_POINT)
+    sp = shared_from(ctx, p)
+    assert opened_point(sp.montgomery_mul(13), p.curve) == p * 13
+
+
+def test_share_mul_bitwise_scalar(ctx, rng):
+    p = Point(*TEST_POINT)
+    scalar = rng.randrange(1 << 8)
+    bits = [(scalar >> i) & 1 for i in range(8)]
+    bv = FpArray.from_ints([bits])                 # [1, 8]
+    sbits = ctx.ShareArray(ctx.preproc._share_values(
+        bv.reshape(8)).reshape(ctx.n, 1, 8))
+    got = share_mul(ctx, sbits, p)
+    want = p * scalar
+    x, y = got.open()
+    assert Point(int(x.to_ints()[0][0]), int(y.to_ints()[0][0]), p.curve) == want
+
+
+def test_equality_mixin(ctx, rng):
+    xs = [rng.randrange(P) for _ in range(2)]
+    sx = ctx.ShareArray(ctx.preproc._share_values(FpArray.from_ints(xs)))
+    sy = ctx.ShareArray(ctx.preproc._share_values(FpArray.from_ints(xs)))
+    sz = ctx.ShareArray(ctx.preproc._share_values(
+        FpArray.from_ints([(x + 1) % P for x in xs])))
+    eq = (sx == sy).open()        # nonzero iff equal (reference semantics)
+    ne = (sx == sz).open()
+    assert all(v != 0 for v in eq.to_ints()[0])
+    assert all(v == 0 for v in ne.to_ints()[0])
