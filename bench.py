@@ -5,6 +5,9 @@ BASELINE.json north-star configuration.
 
 Runs the full n-party protocol (both rounds, optimistic decode with robust
 validation) batched on a single chip and reports opened shares/second.
+The 2^16-share batch is processed in segments sized to HBM (the whole
+64-party simulation is resident on one chip, so working set is ~64x a
+single party's).
 
 vs_baseline compares against an NTL single-core estimate for the same
 pipeline: ~25M 255-bit modmuls/s (NTL ZZ_p on a modern core), ~60 muls per
@@ -14,39 +17,42 @@ this stands in for "NTL single-core" until a native CPU baseline lands.
 """
 
 import json
-import os
 import time
 
 NTL_SINGLE_CORE_EST = 4.0e5  # shares/s, see docstring
 
 
 def main():
-    import jax
     from honeybadgermpc_tpu.ops.fparray import FpArray
     from honeybadgermpc_tpu.parallel.reconstruct import _sim_reconstruct_jit
     from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
 
     n, t = 64, 21
     k = t + 1
-    B = (1 << 16) // k * k                    # 65538 -> 65516 (multiple of 22)
+    SEG = 16368                               # multiple of k; fits HBM
+    NSEG = 4
+    B = SEG * NSEG                            # 65472 ~= 2^16 shares
 
     pre = PreProcessedElements(n, t, seed=0)
-    pre.generate_rands(B)
-    shares = pre.get_rands(B)                 # [n, B]
+    segs = []
+    for _ in range(NSEG):                     # deal segment-wise (HBM)
+        pre.generate_rands(SEG)
+        segs.append(pre.get_rands(SEG))       # [n, SEG]
 
     run = _sim_reconstruct_jit(n, t, False, True)
 
-    # correctness gate: opened values must match a second, independent open
-    secrets, nerr = run(shares.limbs)
-    secrets.block_until_ready()
+    # correctness gate: no decode errors on honest shares
+    out, nerr = run(segs[0].limbs)
+    out.block_until_ready()
     assert int(nerr.sum()) == 0
 
-    # timed runs
-    iters = 3
+    # timed runs over all segments
+    iters = 2
     t0 = time.perf_counter()
     for _ in range(iters):
-        out, _ = run(shares.limbs)
-    out.block_until_ready()
+        outs = [run(s.limbs) for s in segs]
+    for o, _ in outs:
+        o.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
 
     rate = B / dt

@@ -90,9 +90,169 @@ def _repeat_last(ctx, sa: ShareArray, s: int) -> ShareArray:
     return ctx.ShareArray(FpArray(v), sa.t)
 
 
+BIT_LENGTH = 255  # p.bit_length()
+
+
+def public_bits(c: FpArray, nbits: int = BIT_LENGTH) -> FpArray:
+    """Public values -> 0/1 field elements of their bits, LSB first on a new
+    trailing axis: [.., B] -> [.., B, nbits]."""
+    from ..ops import montgomery as mont
+    from ..ops.limbs import L, W
+    plain = mont.from_mont(c.limbs)                   # [L, .., B] 16-bit limbs
+    limb_idx = jnp.arange(nbits) // W
+    bit_idx = jnp.arange(nbits) % W
+    sel = jnp.take(plain, limb_idx, axis=0)           # [nbits, .., B]
+    bits = (sel >> bit_idx.reshape((nbits,) + (1,) * (plain.ndim - 1))) & 1
+    bits = jnp.moveaxis(bits, 0, -1)                  # [.., B, nbits]
+    one = FpArray.from_int(1).broadcast_to(bits.shape)
+    zero = FpArray.from_int(0).broadcast_to(bits.shape)
+    return FpArray.select(bits != 0, one, zero)
+
+
+def public_lt_const(c: FpArray, bound: int):
+    """bool mask: int value of public c < bound (lexicographic limb
+    compare against a host constant)."""
+    from ..ops import montgomery as mont
+    from ..ops.limbs import L, int_to_limbs
+    plain = mont.from_mont(c.limbs)
+    b = int_to_limbs(bound)
+    lt = jnp.zeros(plain.shape[1:], bool)
+    decided = jnp.zeros(plain.shape[1:], bool)
+    for j in reversed(range(L)):
+        bj = jnp.uint32(int(b[j]))
+        lt = jnp.where(~decided & (plain[j] < bj), True, lt)
+        decided = decided | (plain[j] != bj)
+    return lt
+
+
+def _xor_pub(share_v: FpArray, cbit: FpArray) -> FpArray:
+    """share XOR public bit, locally: c + r(1 - 2c)."""
+    one = FpArray.from_int(1)
+    return cbit + share_v * (one - cbit - cbit)
+
+
+def _xor_shares(ctx, a: ShareArray, b: ShareArray) -> ShareArray:
+    """a + b - 2ab (share_comparison.py:113-117) — one batched multiply."""
+    ab = beaver_multiply_arrays(ctx, a, b)
+    return a + b - ab - ab
+
+
+def less_than(ctx: MpcContext, a: ShareArray, b: ShareArray) -> ShareArray:
+    """Reistad'07 comparison (share_comparison.py:83-212): share of 1 iff
+    a < b. Requires a, b < (p-1)/2.
+
+    Batched redesign: the 255-bit axis is an element axis; the reference's
+    254 SEQUENTIAL suffix-product multiplications (:155-157) become log2
+    Hillis-Steele rounds of batched multiplies."""
+    B = a.v.shape[-1]
+    K = BIT_LENGTH
+    z = a - b
+
+    # 5.1 transform: open c = 2z + r, with bitwise-shared r
+    r_b, r_bits = ctx.preproc.get_share_bits(B)       # [n?, B], [n?, B, K]
+    r_b = ctx.from_preproc(r_b)
+    r_bits = ctx.from_preproc(r_bits)
+    c = ctx.open_share_array(z + z + r_b)             # public [.., B]
+    c_bits = public_bits(c, K)                        # [.., B, K]
+
+    # 5.2 compute x: suffix products of (1 + r_j xor c_j) for j > i
+    xor = ctx.ShareArray(_xor_pub(r_bits.v, c_bits), r_bits.t)
+    pb = xor + 1                                      # in {1, 2}
+    # suffix product over the bit axis, exclusive (powers[i] = prod_{j>i})
+    suffix = _exclusive_suffix_product(ctx, pb)       # [.., B, K]
+    one = FpArray.from_int(1)
+    r1c = ctx.ShareArray(r_bits.v * (one - c_bits), r_bits.t)
+    terms = beaver_multiply_arrays(ctx, r1c, suffix)
+    x = ctx.ShareArray(_sum_last(terms.v), a.t)       # [.., B]
+
+    # 5.3 extract lsb of x via a second bitwise-shared mask s
+    s_b, s_bits = ctx.preproc.get_share_bits(B)
+    s_b = ctx.from_preproc(s_b)
+    s_bits = ctx.from_preproc(s_bits)
+    d = ctx.open_share_array(s_b + x)                 # public
+    s_0 = _bit(ctx, s_bits, 0)
+    s_1 = _bit(ctx, s_bits, K - 1)
+    s_2 = _bit(ctx, s_bits, K - 2)
+    s_prod = beaver_multiply_arrays(ctx, s_1, s_2)
+    d_bits = public_bits(d, 1)
+    d0 = FpArray(d_bits.limbs[..., 0])                # public bit of d
+    hi1, hi2 = 1 << (K - 1), 1 << (K - 2)
+    x1 = _xor_bits_pub(d0, public_lt_const(d, hi1))
+    x2 = _xor_bits_pub(d0, public_lt_const(d, hi2))
+    x12 = _xor_bits_pub(d0, public_lt_const(d, hi1 + hi2))
+    d_0 = ctx.ShareArray(
+        (one - s_1.v - s_2.v + s_prod.v) * d0
+        + (s_2.v - s_prod.v) * x2
+        + (s_1.v - s_prod.v) * x1
+        + s_prod.v * x12, a.t)
+    x_0 = _xor_shares(ctx, s_0, d_0)
+
+    # result = c_0 xor r_0 xor x_0
+    c0 = FpArray(c_bits.limbs[..., 0])
+    r_0 = _bit(ctx, r_bits, 0)
+    cr = ctx.ShareArray(_xor_pub(r_0.v, c0), a.t)
+    return _xor_shares(ctx, cr, x_0)
+
+
+def _exclusive_suffix_product(ctx, pb: ShareArray) -> ShareArray:
+    """powers[i] = prod_{j > i} pb[j] along the last axis, via Hillis-Steele
+    doubling: log2(K) batched multiplies instead of K sequential ones."""
+    K = pb.v.shape[-1]
+    # inclusive-from-the-right, shifted: start with pb shifted left by one
+    cur = _shift_left_fill_one(ctx, pb, 1)
+    shift = 1
+    while shift < K:
+        shifted = _shift_left_fill_one(ctx, cur, shift)
+        cur = beaver_multiply_arrays(ctx, cur, shifted)
+        shift *= 2
+    return cur
+
+
+def _shift_left_fill_one(ctx, sa: ShareArray, k: int) -> ShareArray:
+    """out[..., i] = sa[..., i+k] (fill with constant-1 sharing)."""
+    K = sa.v.shape[-1]
+    k = min(k, K)
+    v = sa.v.limbs[..., k:]
+    ones = FpArray.from_int(1).broadcast_to(sa.v.shape[:-1] + (k,))
+    out = jnp.concatenate([v, ones.limbs], axis=-1)
+    return ctx.ShareArray(FpArray(out), sa.t)
+
+
+def _sum_last(v: FpArray) -> FpArray:
+    """Tree-sum over the last axis (local additions)."""
+    K = v.shape[-1]
+    while K > 1:
+        half = K // 2
+        a = FpArray(v.limbs[..., 0:half * 2:2])
+        b = FpArray(v.limbs[..., 1:half * 2:2])
+        s = a + b
+        if K % 2:
+            s = FpArray.concatenate([s, FpArray(v.limbs[..., K - 1:K])],
+                                    axis=s.ndim - 1)
+            K = half + 1
+        else:
+            K = half
+        v = s
+    return FpArray(v.limbs[..., 0])
+
+
+def _bit(ctx, bits: ShareArray, i: int) -> ShareArray:
+    return ctx.ShareArray(FpArray(bits.v.limbs[..., i]), bits.t)
+
+
+def _xor_bits_pub(a: FpArray, b_mask) -> FpArray:
+    """public bit (field 0/1) XOR bool mask -> field 0/1."""
+    b = FpArray.select(b_mask, FpArray.from_int(1).broadcast_to(a.shape),
+                       FpArray.from_int(0).broadcast_to(a.shape))
+    two = FpArray.from_int(2)
+    return a + b - two * a * b
+
+
 def install(ctx: MpcContext):
     """Register comparison mixins on a context (mixin-config injection,
     mpc.py:84-99)."""
     ctx.config[MixinConstants.ShareEquality] = \
         lambda c, x, y: equality(c, x, y)
+    ctx.config[MixinConstants.ShareLessThan] = \
+        lambda c, x, y: less_than(c, x, y)
     return ctx

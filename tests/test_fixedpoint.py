@@ -1,0 +1,62 @@
+"""Fixed-point MPC vs float oracle (mirrors reference
+tests/progs/test_fixedpoint.py) and the LessThan mixin."""
+
+import numpy as np
+import pytest
+
+from honeybadgermpc_tpu.models.fixedpoint import FixedPointArray
+from honeybadgermpc_tpu.ops.fparray import FpArray
+from honeybadgermpc_tpu.ops.limbs import P
+from honeybadgermpc_tpu.runtime.comparison import install
+from honeybadgermpc_tpu.runtime.context import MpcContext
+from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
+
+
+@pytest.fixture
+def ctx():
+    n, t = 4, 1
+    pre = PreProcessedElements(n, t, seed=23)
+    pre.generate_triples(16384)  # LessThan consumes ~11*255*B triples
+    pre.generate_rands(256)
+    pre.generate_bits(4096)
+    pre.generate_zeros(64)
+    pre.generate_share_bits(8)
+    return install(MpcContext(n, t, preproc=pre))
+
+
+def test_fixedpoint_add_sub_mul_open(ctx):
+    a = FixedPointArray(ctx, [2.5, -3.8, 0.25])
+    b = FixedPointArray(ctx, [-3.8, 1.5, 4.0])
+    assert np.allclose(a.open(), [2.5, -3.8, 0.25])
+    assert np.allclose((a + b).open(), [-1.3, -2.3, 4.25])
+    assert np.allclose((a - b).open(), [6.3, -5.3, -3.75])
+    got = (a * b).open()
+    # trunc_pr introduces up to 1 ulp of error
+    assert np.allclose(got, [-9.5, -5.7, 1.0], atol=2 ** -30)
+
+
+def test_fixedpoint_neg_div(ctx):
+    a = FixedPointArray(ctx, [2.5, -1.25])
+    assert np.allclose(a.neg().open(), [-2.5, 1.25])
+    assert np.allclose(a.div(2).open(), [1.25, -0.625], atol=2 ** -30)
+
+
+def test_fixedpoint_lt(ctx):
+    a = FixedPointArray(ctx, [2.5, -3.8])
+    b = FixedPointArray(ctx, [-3.8, 1.5])
+    lt = ctx.open_share_array(a.lt(b))
+    assert list(lt.to_ints()[0]) == [0, 1]
+    lt2 = ctx.open_share_array(b.lt(a))
+    assert list(lt2.to_ints()[0]) == [1, 0]
+
+
+def test_less_than_mixin_field(ctx, rng):
+    """Reistad LessThan on raw field shares (values < (p-1)/2)."""
+    bound = (P - 1) // 2
+    pairs = [(5, 9), (1 << 100, (1 << 100) + 1), (bound - 2, 3), (7, 7)]
+    xs = [a for a, _ in pairs]
+    ys = [b for _, b in pairs]
+    sx = ctx.ShareArray(ctx.preproc._share_values(FpArray.from_ints(xs)))
+    sy = ctx.ShareArray(ctx.preproc._share_values(FpArray.from_ints(ys)))
+    got = ctx.open_share_array(sx < sy)
+    assert list(got.to_ints()[0]) == [1 if a < b else 0 for a, b in pairs]
