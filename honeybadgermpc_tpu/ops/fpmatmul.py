@@ -60,8 +60,22 @@ def _matmul_kernel(a_limbs, m_limbs):
 
 
 def fp_matmul(a: FpArray, m: FpArray) -> FpArray:
-    """a[..., k] @ m[k, n] -> [..., n] over GF(p)."""
+    """a[..., k] @ m[k, n] -> [..., n] over GF(p). On TPU the whole
+    contraction runs inside one Pallas kernel (register-resident CIOS with
+    modular accumulation); the lax.scan path serves CPU tests."""
     assert m.ndim == 2 and a.shape[-1] == m.shape[0], (a.shape, m.shape)
+    from .montgomery import _use_pallas
+    batch_shape = a.shape[:-1]
+    numel = 1
+    for d in batch_shape:
+        numel *= d
+    if _use_pallas(numel * m.shape[1]):
+        from .limbs import L as _L
+        from .pallas_field import fp_matmul_pallas
+        k = a.shape[-1]
+        flat = a.limbs.reshape(_L, numel, k)
+        out = fp_matmul_pallas(flat, m.limbs)
+        return FpArray(out.reshape((_L,) + batch_shape + (m.shape[1],)))
     return FpArray(_matmul_kernel(a.limbs, m.limbs))
 
 

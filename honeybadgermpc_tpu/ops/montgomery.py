@@ -152,6 +152,22 @@ def eq_mask(a, b):
 
 # -- carry-save CIOS multiplier ----------------------------------------------
 
+import os as _os
+
+
+def _use_pallas(numel: int) -> bool:
+    """Dispatch the register-resident Pallas kernel on real TPU backends.
+    The jnp path remains for CPU tests and tiny shapes (grid padding would
+    dominate below ~1 tile)."""
+    if _os.environ.get("HBMPC_DISABLE_PALLAS"):
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend not in ("cpu",) and numel >= 1024
+
+
 def mont_mul(a, b):
     """a*b*R^{-1} mod p, canonical output (< p). a, b: canonical uint32[L,...].
 
@@ -164,6 +180,13 @@ def mont_mul(a, b):
     """
     a, b = _align2(a, b)
     shape = jnp.broadcast_shapes(_bshape(a), _bshape(b))
+    numel = 1
+    for d in shape:
+        numel *= d
+    if _use_pallas(numel):
+        from .pallas_field import mont_mul_pallas
+        return mont_mul_pallas(jnp.broadcast_to(a, (L,) + shape),
+                               jnp.broadcast_to(b, (L,) + shape))
     b = jnp.broadcast_to(b, (L,) + shape)
     pst = jnp.broadcast_to(_pstack(shape), (L,) + shape)
     zrow = jnp.zeros((1,) + shape, _U32)

@@ -1,0 +1,204 @@
+"""Pallas TPU kernels for GF(p) Montgomery arithmetic — the hot-op path.
+
+The XLA/jnp kernels in ops/montgomery.py express the carry-save CIOS with
+limb-axis concatenates, which Mosaic/XLA cannot fuse: every multiply round-
+trips its [L+1, batch] accumulator through HBM (measured: the n=64 batch
+open ran at ~1.5k shares/s). These kernels keep the entire CIOS in VMEM
+registers — per-limb values are separate [TM, 128] vector registers, the
+i/j loops are Python-unrolled, and HBM traffic is exactly inputs + outputs.
+
+Kernels:
+  mont_mul_pallas     — elementwise a*b*R^-1 mod p over flattened elements
+  fp_matmul_pallas    — [B, k] @ [k, n] with the whole k-contraction and
+                        modular accumulation inside the kernel (the
+                        Vandermonde encode/decode workhorse)
+
+Both are bit-exact against the jnp path (tests/test_pallas_field.py) and
+dispatched automatically on TPU backends (montgomery.mont_mul / fpmatmul).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .limbs import L, MASK, N0, P_LIMBS, W
+
+_P = [int(x) for x in P_LIMBS]
+LANES = 128
+SUBS = 8
+TILE = SUBS * LANES          # elements per grid step
+
+
+def _interpret() -> bool:
+    """Interpret mode on non-TPU backends (CPU parity tests)."""
+    return jax.default_backend() in ("cpu",)
+
+
+def _cios(a_limbs, b_limbs, shape):
+    """Register CIOS: a_limbs/b_limbs are Python lists of L uint32 arrays
+    (each of `shape`); returns list of L canonical limb arrays < 2^16.
+    Carry-save accumulator, limbs < 2^23 (see ops/montgomery.py proof)."""
+    zero = jnp.zeros(shape, jnp.uint32)
+    t = [zero] * (L + 1)
+    for i in range(L):
+        ai = a_limbs[i]
+        for j in range(L):
+            pr = ai * b_limbs[j]
+            t[j] = t[j] + (pr & MASK)
+            t[j + 1] = t[j + 1] + (pr >> W)
+        m = ((t[0] & MASK) * jnp.uint32(N0)) & MASK
+        for j in range(L):
+            pr = m * jnp.uint32(_P[j])
+            t[j] = t[j] + (pr & MASK)
+            t[j + 1] = t[j + 1] + (pr >> W)
+        carry0 = t[0] >> W
+        t = t[1:] + [zero]
+        t[0] = t[0] + carry0
+    return _normalize(t, shape)
+
+
+def _normalize(t, shape):
+    """Carry-propagate L+1 redundant limbs (< 2^23) to canonical, then
+    conditionally subtract p (value < 2p < 2^256)."""
+    c = jnp.zeros(shape, jnp.uint32)
+    out = []
+    for j in range(L):
+        v = t[j] + c
+        out.append(v & MASK)
+        c = v >> W
+    # (t[L] + c) == 0 always since value < 2^256
+    return _cond_sub_p(out, shape)
+
+
+def _cond_sub_p(limbs, shape):
+    borrow = jnp.zeros(shape, jnp.uint32)
+    d = []
+    for j in range(L):
+        v = limbs[j] - jnp.uint32(_P[j]) - borrow
+        d.append(v & MASK)
+        borrow = (v >> W) & jnp.uint32(1)
+    take = borrow == 0
+    return [jnp.where(take, d[j], limbs[j]) for j in range(L)]
+
+
+def _add_mod(a, b, shape):
+    c = jnp.zeros(shape, jnp.uint32)
+    out = []
+    for j in range(L):
+        v = a[j] + b[j] + c
+        out.append(v & MASK)
+        c = v >> W
+    d = _cond_sub_p(out, shape)
+    # carry out of limb 15 is impossible for a, b < p
+    return d
+
+
+# -- elementwise multiply ----------------------------------------------------
+
+def _mul_kernel(a_ref, b_ref, o_ref):
+    a = [a_ref[j] for j in range(L)]         # each [SUBS, LANES]
+    b = [b_ref[j] for j in range(L)]
+    out = _cios(a, b, a[0].shape)
+    o_ref[...] = jnp.stack(out, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mont_mul_pallas(a, b):
+    """Elementwise Montgomery multiply of stacked limbs uint32[L, *shape];
+    broadcasting handled by the caller. Pads the flattened element axis to
+    the tile size."""
+    shape = a.shape[1:]
+    n = int(np.prod(shape)) if shape else 1
+    npad = -n % TILE
+    af = a.reshape(L, n)
+    bf = jnp.broadcast_to(b, a.shape).reshape(L, n)
+    if npad:
+        af = jnp.concatenate([af, jnp.zeros((L, npad), jnp.uint32)], -1)
+        bf = jnp.concatenate([bf, jnp.zeros((L, npad), jnp.uint32)], -1)
+    m = (n + npad) // TILE
+    af = af.reshape(L, m, SUBS, LANES)
+    bf = bf.reshape(L, m, SUBS, LANES)
+    out = pl.pallas_call(
+        _mul_kernel,
+        grid=(m,),
+        in_specs=[
+            pl.BlockSpec((L, 1, SUBS, LANES), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1, SUBS, LANES), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, 1, SUBS, LANES), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, m, SUBS, LANES), jnp.uint32),
+        interpret=_interpret(),
+    )(af, bf)
+    return out.reshape(L, m * TILE)[:, :n].reshape((L,) + shape)
+
+
+def _mul_kernel_4d(a_ref, b_ref, o_ref):
+    a = [a_ref[j, 0] for j in range(L)]
+    b = [b_ref[j, 0] for j in range(L)]
+    out = _cios(a, b, a[0].shape)
+    o_ref[...] = jnp.stack(out, axis=0)[:, None]
+
+
+# -- batched modular matmul --------------------------------------------------
+#
+# Layout: the huge batch axis B rides the 128-lane dimension and the (small)
+# output axis n rides sublanes, so every CIOS register op is a full [n, 128]
+# vector tile — no lane padding for the typical n = 64 party count (the
+# first kernel generation put n on lanes and wasted half the VPU).
+
+def _matmul_kernel(a_ref, v_ref, o_ref, *, k, n):
+    """a_ref [L, k, TBL]; v_ref [L, k, n]; o_ref [L, n, TBL]
+    o[:, j, b] = sum_k a[:, k, b] * v[:, k, j] over GF(p)."""
+    TBL = a_ref.shape[2]
+    shape = (n, TBL)
+    acc = None
+    for kk in range(k):
+        a_col = [a_ref[j, kk, :][None, :] for j in range(L)]   # [1, TBL]
+        v_row = [v_ref[j, kk, :][:, None] for j in range(L)]   # [n, 1]
+        prod = _cios([jnp.broadcast_to(x, shape) for x in a_col],
+                     [jnp.broadcast_to(x, shape) for x in v_row], shape)
+        acc = prod if acc is None else _add_mod(acc, prod, shape)
+    o_ref[...] = jnp.stack(acc, axis=0)
+
+
+def fp_matmul_pallas(a, v):
+    """a[L, B, k] @ v[L, k, n] -> [L, B, n] over GF(p), Montgomery form.
+    B is tiled over the grid (lane-major inside the kernel); k and n live
+    entirely in VMEM per step."""
+    Lx, B, k = a.shape
+    n = v.shape[2]
+    TBL = 128  # [n, TBL] register tiles; 512 blew the scoped-vmem stack
+    bpad = -B % TBL
+    at = jnp.swapaxes(a, 1, 2)                       # [L, k, B]
+    if bpad:
+        at = jnp.concatenate([at, jnp.zeros((L, k, bpad), jnp.uint32)], 2)
+    nb = (B + bpad) // TBL
+    kern = functools.partial(_matmul_kernel, k=k, n=n)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((L, k, TBL), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, k, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, n, TBL), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, n, B + bpad), jnp.uint32),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (B + bpad) * k * n * L * L,
+            bytes_accessed=4 * L * ((B + bpad) * (k + n) + k * n),
+            transcendentals=0),
+    )(at, v)
+    return jnp.swapaxes(out[:, :, :B], 1, 2)
