@@ -1,0 +1,336 @@
+"""HoneyBadger Asynchronous Verifiable Secret Sharing (reference
+hbavss.py: HbAvssLight :32-324, HbAvssBatch :327-678).
+
+HbAvssLight: dealer commits to a degree-t polynomial (Pedersen, linear
+size), ECDH-encrypts each party's (share, witness) under an ephemeral key,
+and reliably-broadcasts one blob. Receivers verify and vote OK; a cheated
+receiver IMPLICATEs by revealing its shared key with a Chaum-Pedersen DLEQ
+proof, after which honest parties enter RECOVERY and the victim
+interpolates its share from t+1 verified shares (hbavss.py:86-201).
+
+HbAvssBatch: B secrets at once; constant-size KZG commitments are RBC'd
+while the per-party encrypted payloads travel via AVID dispersal
+(hbavss.py:567-666); same implicate/recover machinery per batch.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import hashlib
+import pickle
+import random as _random
+from collections import defaultdict
+
+from ..betterpairing import G1, ZR
+from ..crypto import symmetric
+from ..crypto.poly_commit_const import PolyCommitConst, eval_poly
+from ..crypto.poly_commit_lin import PolyCommitLin
+from ..field import GF
+from ..elliptic_curve import Subgroup
+from ..polynomial import polynomials_over
+from ..utils.misc import wrap_send, subscribe_recv
+from .avid import AVID
+from .reliablebroadcast import reliablebroadcast
+
+
+def get_avss_params(n, t, seed=0):
+    """Per-party keypairs (hardcoded-seed parity with offline_robust.py
+    get_avss_params :15-21)."""
+    g, h = G1.rand(b"g"), G1.rand(b"h")
+    rng = _random.Random(seed)
+    sks = [ZR(rng.randrange(1, int(2 ** 255))) for _ in range(n)]
+    pks = [g ** sk for sk in sks]
+    return g, h, pks, sks
+
+
+def _dleq_prove(g, x, h_, y, alpha: ZR):
+    """Chaum-Pedersen NIZK: log_g(x) == log_h_(y) == alpha."""
+    w = ZR.rand()
+    a1, a2 = g ** w, h_ ** w
+    e = ZR.hash(pickle.dumps((a1, a2, x, y)))
+    z = w + alpha * e
+    return (a1, a2, z)
+
+
+def _dleq_verify(g, x, h_, y, proof) -> bool:
+    a1, a2, z = proof
+    e = ZR.hash(pickle.dumps((a1, a2, x, y)))
+    return (g ** z == a1 * (x ** e)) and (h_ ** z == a2 * (y ** e))
+
+
+class HbAvssLight:
+    """Single-secret AVSS (scalar per instance; avss_parallel runs many)."""
+
+    def __init__(self, public_keys, private_key, g, h, n, t, my_id,
+                 send, recv, pc=None):
+        self.pks, self.sk = public_keys, private_key
+        self.g, self.h = g, h
+        self.n, self.t, self.my_id = n, t, my_id
+        self.send, self.recv = send, recv
+        self.pc = pc or PolyCommitLin([g, h])
+        self.field = GF(Subgroup.BLS12_381)
+        self.poly = polynomials_over(self.field)
+        self._recv_task, self._subscribe = subscribe_recv(recv)
+        self._tasks = []
+
+    def kill(self):
+        self._recv_task.cancel()
+        for t in self._tasks:
+            t.cancel()
+
+    def _mk(self, tag):
+        return wrap_send(tag, self.send), self._subscribe(tag)
+
+    def _dealer_msg(self, value) -> bytes:
+        phi = self.poly.random(self.t, value)
+        commitments, aux_poly = self.pc.commit(phi)
+        esk = ZR.rand()
+        ephemeral_public_key = self.g ** esk
+        z = []
+        for i in range(self.n):
+            shared_key = self.pks[i] ** esk
+            blob = symmetric.encrypt(
+                shared_key, (int(phi(i + 1)), int(self.pc.create_witness(aux_poly, i + 1))))
+            z.append(blob)
+        return pickle.dumps((commitments, ephemeral_public_key, z))
+
+    async def avss(self, avss_id, value=None, dealer_id=None,
+                   client_mode=False):
+        """Deal (if dealer) / receive a share of one secret. Returns this
+        party's share as an int (field element value)."""
+        if dealer_id is None:
+            dealer_id = self.my_id
+        broadcast_msg = None
+        if self.my_id == dealer_id:
+            assert value is not None
+            broadcast_msg = self._dealer_msg(value)
+
+        tag = f"{dealer_id}-{avss_id}-RBC"
+        rbc_send, rbc_recv = self._mk(tag)
+        blob = await reliablebroadcast(
+            tag, self.my_id, self.n, self.t, dealer_id,
+            broadcast_msg, rbc_recv, rbc_send)
+        commitments, epk, z = pickle.loads(blob)
+
+        vote_tag = f"{dealer_id}-{avss_id}-AVSS"
+        vote_send, vote_recv = self._mk(vote_tag)
+
+        def vote_bcast(o):
+            for dest in range(self.n):
+                vote_send(dest, o)
+
+        shared_key = epk ** self.sk
+        share, witness, ok = None, None, False
+        try:
+            share, witness = symmetric.decrypt(shared_key, z[self.my_id])
+            ok = self.pc.verify_eval(
+                commitments, self.my_id + 1, ZR(share), ZR(witness))
+        except ValueError:
+            ok = False
+
+        if ok:
+            vote_bcast(("OK",))
+        else:
+            proof = _dleq_prove(self.g, self.pks[self.my_id],
+                                epk, shared_key, self.sk)
+            vote_bcast(("IMPLICATE", shared_key, proof))
+
+        # The vote handler must OUTLIVE this party's own output: honest
+        # parties keep serving IMPLICATE/RECOVER so a cheated party can
+        # finish (reference keeps _process_avss_msg running in the
+        # background, hbavss.py:86-201).
+        output = asyncio.Future()
+        state = {"share": share, "witness": witness, "ok": ok,
+                 "in_recovery": False}
+        oks = set()
+        recovery_shares = {}
+
+        async def handler():
+            while True:
+                sender, msg = await vote_recv()
+                if msg[0] == "OK":
+                    oks.add(sender)
+                    if len(oks) >= 2 * self.t + 1 and                             state["share"] is not None and not output.done():
+                        output.set_result(state["share"])
+                elif msg[0] == "IMPLICATE" and not state["in_recovery"]:
+                    _, their_key, proof = msg
+                    if not _dleq_verify(self.g, self.pks[sender], epk,
+                                        their_key, proof):
+                        continue
+                    try:
+                        s2, w2 = symmetric.decrypt(their_key, z[sender])
+                        valid = self.pc.verify_eval(
+                            commitments, sender + 1, ZR(s2), ZR(w2))
+                    except ValueError:
+                        valid = False
+                    if not valid:
+                        state["in_recovery"] = True
+                        if state["ok"]:
+                            vote_bcast(("RECOVER", state["share"],
+                                        state["witness"]))
+                elif msg[0] == "RECOVER":
+                    _, s2, w2 = msg
+                    if self.pc.verify_eval(commitments, sender + 1,
+                                           ZR(s2), ZR(w2)):
+                        recovery_shares[sender + 1] = s2
+                    if state["share"] is None and                             len(recovery_shares) == self.t + 1:
+                        state["share"] = int(self.poly.interpolate_at(
+                            list(recovery_shares.items()), self.my_id + 1))
+                        vote_bcast(("OK",))
+
+        task = asyncio.ensure_future(handler())
+        self._tasks.append(task)
+        return await output
+
+    async def avss_parallel(self, avss_id, k, values=None, dealer_id=None):
+        """k concurrent instances (hbavss.py:309-324)."""
+        if values is None:
+            values = [None] * k
+        return await asyncio.gather(*[
+            self.avss((avss_id, i), values[i], dealer_id) for i in range(k)])
+
+
+class HbAvssBatch:
+    """Batched AVSS: one RBC of (KZG commitments, epk), payloads via AVID
+    (hbavss.py:327-678)."""
+
+    def __init__(self, public_keys, private_key, crs, n, t, my_id,
+                 send, recv):
+        self.pks, self.sk = public_keys, private_key
+        self.pc = PolyCommitConst(crs)
+        self.g = crs[0][0]
+        self.n, self.t, self.my_id = n, t, my_id
+        self.send, self.recv = send, recv
+        self.field = GF(Subgroup.BLS12_381)
+        self.poly = polynomials_over(self.field)
+        self._recv_task, self._subscribe = subscribe_recv(recv)
+
+    def kill(self):
+        self._recv_task.cancel()
+
+    def _mk(self, tag):
+        return wrap_send(tag, self.send), self._subscribe(tag)
+
+    async def avss(self, avss_id, values=None, dealer_id=None):
+        """Deal/receive a batch; returns list of this party's shares."""
+        if dealer_id is None:
+            dealer_id = self.my_id
+        B = None
+        rbc_blob = None
+        avid_inputs = None
+        if self.my_id == dealer_id:
+            assert values is not None
+            B = len(values)
+            phis, hats, commits = [], [], []
+            for v in values:
+                phi = self.poly.random(self.t, v)
+                c, hat = self.pc.commit(phi)
+                phis.append(phi)
+                hats.append(hat)
+                commits.append(c)
+            esk = ZR.rand()
+            epk = self.g ** esk
+            avid_inputs = []
+            for i in range(self.n):
+                shared_key = self.pks[i] ** esk
+                payload = [(int(phis[b](i + 1)),
+                            int(eval_poly(hats[b], i + 1)),
+                            self.pc.create_witness(phis[b], hats[b], i + 1))
+                           for b in range(B)]
+                avid_inputs.append(symmetric.encrypt(shared_key, payload))
+            rbc_blob = pickle.dumps((commits, epk, B))
+
+        # RBC the commitments; AVID the payloads
+        rbc_tag = f"{dealer_id}-{avss_id}-B-RBC"
+        rbc_send, rbc_recv = self._mk(rbc_tag)
+        blob = await reliablebroadcast(
+            rbc_tag, self.my_id, self.n, self.t, dealer_id,
+            rbc_blob, rbc_recv, rbc_send)
+        commits, epk, B = pickle.loads(blob)
+
+        avid_tag = f"{dealer_id}-{avss_id}-B-AVID"
+        avid_send, avid_recv = self._mk(avid_tag)
+        avid = AVID(self.n, self.t, dealer_id, avid_recv, avid_send, self.n)
+        disperse = asyncio.ensure_future(avid.disperse(
+            avid_tag, self.my_id,
+            avid_inputs if self.my_id == dealer_id else None))
+        my_blob = await avid.retrieve(avid_tag, self.my_id)
+
+        vote_tag = f"{dealer_id}-{avss_id}-B-VOTE"
+        vote_send, vote_recv = self._mk(vote_tag)
+
+        def vote_bcast(o):
+            for dest in range(self.n):
+                vote_send(dest, o)
+
+        shared_key = epk ** self.sk
+        shares = None
+        ok = False
+        try:
+            payload = symmetric.decrypt(shared_key, my_blob)
+            ok = self.pc.batch_verify_eval(
+                commits, self.my_id + 1,
+                [ZR(s) for s, _, _ in payload],
+                [ZR(a) for _, a, _ in payload],
+                [w for _, _, w in payload])
+            if ok:
+                shares = [s for s, _, _ in payload]
+        except ValueError:
+            ok = False
+
+        if ok:
+            vote_bcast(("OK",))
+        else:
+            proof = _dleq_prove(self.g, self.pks[self.my_id], epk,
+                                shared_key, self.sk)
+            vote_bcast(("IMPLICATE", shared_key, proof))
+
+        oks = set()
+        recovery = defaultdict(dict)      # b -> {x: share}
+        in_recovery = False
+        while True:
+            sender, msg = await vote_recv()
+            if msg[0] == "OK":
+                oks.add(sender)
+                if len(oks) >= 2 * self.t + 1 and shares is not None:
+                    disperse.cancel() if False else None
+                    return shares
+            elif msg[0] == "IMPLICATE" and not in_recovery:
+                _, their_key, proof = msg
+                if not _dleq_verify(self.g, self.pks[sender], epk,
+                                    their_key, proof):
+                    continue
+                try:
+                    their_blob = await avid.retrieve(avid_tag, sender)
+                    payload = symmetric.decrypt(their_key, their_blob)
+                    valid = self.pc.batch_verify_eval(
+                        commits, sender + 1,
+                        [ZR(s) for s, _, _ in payload],
+                        [ZR(a) for _, a, _ in payload],
+                        [w for _, _, w in payload])
+                except (ValueError, TypeError):
+                    valid = False
+                if not valid:
+                    in_recovery = True
+                    if ok:
+                        my_payload = symmetric.decrypt(shared_key, my_blob)
+                        vote_bcast(("RECOVER",
+                                    [(s, a) for s, a, _ in my_payload],
+                                    [w for _, _, w in my_payload]))
+            elif msg[0] == "RECOVER":
+                _, sa, ws = msg
+                good = all(
+                    self.pc.verify_eval(commits[b], sender + 1,
+                                        ZR(sa[b][0]), ZR(sa[b][1]), ws[b])
+                    for b in range(B))
+                if good:
+                    for b in range(B):
+                        recovery[b][sender + 1] = sa[b][0]
+                if shares is None and \
+                        all(len(recovery[b]) >= self.t + 1 for b in range(B)):
+                    shares = [
+                        int(self.poly.interpolate_at(
+                            list(recovery[b].items())[:self.t + 1],
+                            self.my_id + 1))
+                        for b in range(B)]
+                    vote_bcast(("OK",))

@@ -1,0 +1,141 @@
+"""HBAVSS dealing/receiving incl. implicate-recovery (mirrors reference
+tests/test_hbavss.py:28-61 and faulty-dealer cases)."""
+
+import asyncio
+import pickle
+
+import pytest
+
+from honeybadgermpc_tpu.betterpairing import ZR
+from honeybadgermpc_tpu.crypto.poly_commit_const import gen_pc_const_crs
+from honeybadgermpc_tpu.crypto import symmetric
+from honeybadgermpc_tpu.field import GF
+from honeybadgermpc_tpu.elliptic_curve import Subgroup
+from honeybadgermpc_tpu.polynomial import polynomials_over
+from honeybadgermpc_tpu.protocols.hbavss import (HbAvssBatch, HbAvssLight,
+                                                 get_avss_params)
+from honeybadgermpc_tpu.protocols.router import TestRouter
+
+P = Subgroup.BLS12_381
+
+
+def open_from_shares(shares, t):
+    """Oracle: interpolate the secret from (x, share) pairs."""
+    poly = polynomials_over(GF(P))
+    return int(poly.interpolate_at(list(shares.items())[:t + 1], 0))
+
+
+def test_hbavss_light_honest_dealer():
+    n, t = 4, 1
+    g, h, pks, sks = get_avss_params(n, t)
+    secret = 42424242
+
+    async def run():
+        router = TestRouter(n, seed=1)
+        instances = [HbAvssLight(pks, sks[i], g, h, n, t, i,
+                                 router.sends[i], router.recvs[i])
+                     for i in range(n)]
+
+        async def party(i):
+            v = await asyncio.wait_for(
+                instances[i].avss(0, secret if i == 1 else None, dealer_id=1),
+                60)
+            return v
+
+        shares = await asyncio.gather(*[party(i) for i in range(n)])
+        for inst in instances:
+            inst.kill()
+        return shares
+
+    shares = asyncio.run(run())
+    rec = open_from_shares({i + 1: s for i, s in enumerate(shares)}, t)
+    assert rec == secret
+
+
+def test_hbavss_light_parallel():
+    n, t = 4, 1
+    g, h, pks, sks = get_avss_params(n, t)
+    secrets = [7, 8, 9]
+
+    async def run():
+        router = TestRouter(n, seed=3)
+        instances = [HbAvssLight(pks, sks[i], g, h, n, t, i,
+                                 router.sends[i], router.recvs[i])
+                     for i in range(n)]
+        outs = await asyncio.wait_for(asyncio.gather(*[
+            instances[i].avss_parallel(
+                0, 3, secrets if i == 0 else None, dealer_id=0)
+            for i in range(n)]), 120)
+        for inst in instances:
+            inst.kill()
+        return outs
+
+    outs = asyncio.run(run())
+    for j, secret in enumerate(secrets):
+        rec = open_from_shares({i + 1: outs[i][j] for i in range(n)}, t)
+        assert rec == secret
+
+
+def test_hbavss_light_cheating_dealer_recovery():
+    """Dealer corrupts party 2's ciphertext: party 2 implicates, others
+    recover, and party 2 still ends with a correct share."""
+    n, t = 4, 1
+    g, h, pks, sks = get_avss_params(n, t)
+    secret = 1234567
+
+    async def run():
+        router = TestRouter(n, seed=5)
+        instances = [HbAvssLight(pks, sks[i], g, h, n, t, i,
+                                 router.sends[i], router.recvs[i])
+                     for i in range(n)]
+
+        evil = instances[0]
+        orig = evil._dealer_msg
+
+        def bad_dealer_msg(value):
+            commitments, epk, z = pickle.loads(orig(value))
+            z[2] = z[2][:-1] + bytes([z[2][-1] ^ 1])  # corrupt party 2 blob
+            return pickle.dumps((commitments, epk, z))
+
+        evil._dealer_msg = bad_dealer_msg
+
+        async def party(i):
+            return await asyncio.wait_for(
+                instances[i].avss(0, secret if i == 0 else None, dealer_id=0),
+                60)
+
+        shares = await asyncio.gather(*[party(i) for i in range(n)])
+        for inst in instances:
+            inst.kill()
+        return shares
+
+    shares = asyncio.run(run())
+    rec = open_from_shares({i + 1: s for i, s in enumerate(shares)}, t)
+    assert rec == secret
+    # all n shares consistent (party 2's recovered share included)
+    rec2 = open_from_shares({i + 1: shares[i] for i in (1, 2)}, t)
+    assert rec2 == secret
+
+
+def test_hbavss_batch():
+    n, t = 4, 1
+    g, h, pks, sks = get_avss_params(n, t)
+    crs = gen_pc_const_crs(t, g=g, h=h, seed=7)
+    secrets = [11, 22, 33]
+
+    async def run():
+        router = TestRouter(n, seed=9)
+        instances = [HbAvssBatch(pks, sks[i], crs, n, t, i,
+                                 router.sends[i], router.recvs[i])
+                     for i in range(n)]
+        outs = await asyncio.wait_for(asyncio.gather(*[
+            instances[i].avss(0, secrets if i == 0 else None, dealer_id=0)
+            for i in range(n)]), 180)
+        for inst in instances:
+            inst.kill()
+        return outs
+
+    outs = asyncio.run(run())
+    for b, secret in enumerate(secrets):
+        rec = open_from_shares({i + 1: outs[i][b] for i in range(n)}, t)
+        assert rec == secret
