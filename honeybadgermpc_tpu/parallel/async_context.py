@@ -1,0 +1,181 @@
+"""Per-process asynchronous MPC context for real-network deployments.
+
+This is the process-parallel twin of runtime/context.py (reference mpc.py's
+Mpc used under ProcessProgramRunner, ipc.py:117): each OS process holds ONE
+party's share tensors; linear algebra runs on the local device; ``open``
+exchanges columns over the NodeCommunicator and robust-decodes whatever
+n-t-plus subset has arrived (the arrival-order IncrementalDecoder becomes
+subset-decode-and-retry — SURVEY §5 network mapping note).
+"""
+
+from __future__ import annotations
+
+import asyncio
+from collections import defaultdict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fparray import FpArray
+from ..ops.gao import gao_robust_decode
+from ..ops.limbs import L, P
+from ..ops.rs import Encoding
+
+
+class AsyncShareArray:
+    """Local share tensor [B] of degree t, bound to an AsyncMpc."""
+
+    __slots__ = ("ctx", "v", "t")
+
+    def __init__(self, ctx, v: FpArray, t=None):
+        self.ctx = ctx
+        self.v = v
+        self.t = ctx.t if t is None else t
+
+    def _like(self, v, t=None):
+        return AsyncShareArray(self.ctx, v, self.t if t is None else t)
+
+    def __add__(self, other):
+        if isinstance(other, AsyncShareArray):
+            assert self.t == other.t
+            return self._like(self.v + other.v)
+        return self._like(self.v + _pub(other))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        if isinstance(other, AsyncShareArray):
+            return self._like(self.v - other.v)
+        return self._like(self.v - _pub(other))
+
+    def __rsub__(self, other):
+        return self._like(_pub(other) - self.v)
+
+    def __mul__(self, other):
+        assert not isinstance(other, AsyncShareArray), \
+            "share*share needs await ctx.mul(x, y)"
+        return self._like(self.v * _pub(other))
+
+    __rmul__ = __mul__
+
+    async def open(self) -> FpArray:
+        return await self.ctx.open_share_array(self)
+
+
+def _pub(x):
+    return FpArray.from_int(x) if isinstance(x, int) else x
+
+
+class AsyncMpc:
+    """sid-scoped context over (send, recv) (reference Mpc, mpc.py:26)."""
+
+    def __init__(self, sid, n, t, my_id, send, recv, preproc=None,
+                 mixins=None, use_omega_powers=False):
+        self.sid, self.n, self.t, self.my_id = sid, n, t, my_id
+        self.send, self.recv = send, recv
+        self.preproc = preproc
+        self.enc = Encoding(n, use_omega_powers=use_omega_powers)
+        self._share_id = 0
+        self._open_buffers = defaultdict(lambda: defaultdict(dict))
+        self._recv_task = None
+        self._signal = asyncio.Event()
+
+    def ShareArray(self, v: FpArray, t=None) -> AsyncShareArray:
+        return AsyncShareArray(self, v, t)
+
+    async def _run(self, program):
+        self._recv_task = asyncio.ensure_future(self._recv_loop())
+        try:
+            return await program(self)
+        finally:
+            self._recv_task.cancel()
+
+    async def _recv_loop(self):
+        """Demux R1/R2 columns into per-open buffers (mpc.py:244-277)."""
+        while True:
+            sender, (shareid, round_, arr) = await self.recv()
+            buf = self._open_buffers[shareid][round_]
+            if sender not in buf:
+                buf[sender] = jnp.asarray(arr)
+                self._signal.set()
+
+    def _get_share_id(self):
+        """Deterministic order-of-encounter id (mpc.py:47-56,76)."""
+        self._share_id += 1
+        return self._share_id - 1
+
+    async def _gather_and_decode(self, shareid, round_, k, B):
+        """Await >= n-t columns, robust-decode; retry with more columns if
+        the error bound is exceeded."""
+        buf = self._open_buffers[shareid][round_]
+        want = self.n - self.t
+        while True:
+            while len(buf) < want:
+                self._signal.clear()
+                await self._signal.wait()
+            zs = tuple(sorted(buf.keys()))
+            ys = FpArray(jnp.stack([buf[z] for z in zs], axis=-1))
+            coeffs, reenc, ok = gao_robust_decode(self.enc, zs, ys, k)
+            if bool(np.asarray(ok).all()):
+                return coeffs
+            if want < self.n:
+                want += 1       # collect more and retry
+            else:
+                raise RuntimeError("robust decode failed with all n shares")
+
+    async def open_share_array(self, sa: AsyncShareArray) -> FpArray:
+        """Two-round batch open over the real network (SURVEY §3.1 call
+        stack; batch_reconstruction.py:88)."""
+        d = sa.t
+        k = d + 1
+        B = sa.v.shape[-1]
+        pad = (-B) % k
+        v = sa.v
+        if pad:
+            v = FpArray.concatenate(
+                [v, FpArray.zeros((pad,))], axis=v.ndim - 1)
+        C = v.shape[-1] // k
+        shareid = self._get_share_id()
+        coeffs = v.reshape(C, k)
+        cols = self.enc.encode(coeffs)                   # [C, n]
+        for j in range(self.n):
+            self.send(j, (shareid, "R1",
+                          np.asarray(cols.limbs[..., j])))
+        psi = await self._gather_and_decode(shareid, "R1", d + 1, C)
+        vals = FpArray(psi.limbs[..., 0])                # [C]
+        for j in range(self.n):
+            self.send(j, (shareid, "R2", np.asarray(vals.limbs)))
+        sec = await self._gather_and_decode(shareid, "R2", k, C)
+        out = sec.reshape(C * k)
+        return FpArray(out.limbs[..., :B])
+
+    async def mul(self, x: AsyncShareArray, y: AsyncShareArray):
+        """Beaver multiply using local preprocessing slices."""
+        B = x.v.shape[-1]
+        a, b, ab = self.preproc.get_triples(B)
+        # local party slice already selected by the loader
+        d = await self.ShareArray(x.v - a).open()
+        e = await self.ShareArray(y.v - b).open()
+        return self.ShareArray(d * e + d * b + e * a + ab, x.t)
+
+
+class LocalPreproc:
+    """Per-party view over dealt share tensors (files written by
+    PreProcessedElements.save; reference per-party .share files,
+    preprocessing.py:152-169)."""
+
+    def __init__(self, pre, my_id: int):
+        self._pre = pre
+        self.my_id = my_id
+
+    def get_triples(self, k):
+        a, b, ab = self._pre.get_triples(k)
+        i = self.my_id
+        return (FpArray(a.limbs[:, i]), FpArray(b.limbs[:, i]),
+                FpArray(ab.limbs[:, i]))
+
+    def get_rands(self, k):
+        return FpArray(self._pre.get_rands(k).limbs[:, self.my_id])
+
+    def get_zeros(self, k):
+        return FpArray(self._pre.get_zeros(k).limbs[:, self.my_id])

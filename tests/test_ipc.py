@@ -1,0 +1,102 @@
+"""Async per-party context and the real-socket communicator (mirrors
+reference tests of ipc.py / ProcessProgramRunner)."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from honeybadgermpc_tpu.ops.fparray import FpArray
+from honeybadgermpc_tpu.ops.limbs import P
+from honeybadgermpc_tpu.parallel.async_context import AsyncMpc, LocalPreproc
+from honeybadgermpc_tpu.protocols.router import TestRouter
+from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
+
+
+def test_async_mpc_open_and_mul(rng):
+    n, t = 4, 1
+    pre = PreProcessedElements(n, t, seed=51)
+    pre.generate_triples(64)
+    xs = [rng.randrange(P) for _ in range(6)]
+    ys = [rng.randrange(P) for _ in range(6)]
+    x_sh = pre._share_values(FpArray.from_ints(xs))   # [n, 6]
+    y_sh = pre._share_values(FpArray.from_ints(ys))
+
+    # per-party triple slices must be consistent: deal once, slice per party
+    pres = [LocalPreproc(PreProcessedElements(n, t, seed=52), i)
+            for i in range(n)]
+    for lp in pres:
+        lp._pre.generate_triples(64)
+
+    async def run():
+        router = TestRouter(n, seed=19)
+        results = []
+
+        async def party(i):
+            ctx = AsyncMpc("sid", n, t, i, router.sends[i], router.recvs[i],
+                           preproc=pres[i])
+
+            async def prog(c):
+                sx = c.ShareArray(FpArray(x_sh.limbs[:, i]))
+                sy = c.ShareArray(FpArray(y_sh.limbs[:, i]))
+                opened = await (sx + sy).open()
+                prod = await c.mul(sx, sy)
+                prod_open = await prod.open()
+                return opened.to_ints(), prod_open.to_ints()
+
+            return await ctx._run(prog)
+
+        outs = await asyncio.wait_for(
+            asyncio.gather(*[party(i) for i in range(n)]), 300)
+        return outs
+
+    outs = asyncio.run(run())
+    want_sum = [(a + b) % P for a, b in zip(xs, ys)]
+    want_prod = [a * b % P for a, b in zip(xs, ys)]
+    for opened, prod in outs:
+        assert list(opened) == want_sum
+        assert list(prod) == want_prod
+
+
+def test_node_communicator_localhost():
+    """n NodeCommunicators over real TCP sockets in one loop."""
+    import zmq  # noqa: F401  (skip if missing)
+    from honeybadgermpc_tpu.parallel.ipc import (NodeCommunicator,
+                                                 verify_all_connections)
+    n = 3
+    base = 17710
+    peers = {i: ("127.0.0.1", base + i) for i in range(n)}
+
+    async def run():
+        comms = [NodeCommunicator(peers, i) for i in range(n)]
+        for c in comms:
+            await c._setup()
+
+        # handshake everyone BEFORE any data flows: this test reads the raw
+        # channel, so interleaved PING/DATA would be lost (real programs
+        # layer subscribe_recv tag demux on top)
+        await asyncio.gather(*[
+            verify_all_connections(comms[i].send, comms[i].recv, n, i)
+            for i in range(n)])
+
+        async def party(i):
+            c = comms[i]
+            for j in range(n):
+                c.send(j, ("DATA", i * 100 + j))
+            got = {}
+            while len(got) < n:
+                sender, msg = await c.recv()
+                if msg[0] == "DATA":
+                    got[sender] = msg[1]
+            return got
+
+        outs = await asyncio.wait_for(
+            asyncio.gather(*[party(i) for i in range(n)]), 60)
+        for c in comms:
+            await c.close()
+        return outs
+
+    outs = asyncio.run(run())
+    for j, got in enumerate(outs):
+        for i in range(n):
+            assert got[i] == i * 100 + j
