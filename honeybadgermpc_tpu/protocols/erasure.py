@@ -55,8 +55,15 @@ def _lagrange_rows(zs: tuple, n_points: int):
 
 def encode(k: int, n: int, data: bytes):
     """-> n stripes (lists of ints); any k reconstruct. Stripe j holds
-    group-poly evaluations at x = j+1."""
+    group-poly evaluations at x = j+1. Large payloads use the native C++
+    kernel (native/hbmpc_native.cpp rs_encode)."""
     elems = _pack(data, k)
+    nat = _native()
+    if nat is not None and len(elems) >= 4 * k:
+        from ..native import bytes_to_ints, ints_to_bytes
+        flat = bytes_to_ints(nat.rs_encode(k, n, ints_to_bytes(elems)))
+        ngroups = len(elems) // k
+        return [flat[j * ngroups:(j + 1) * ngroups] for j in range(n)]
     groups = [elems[i:i + k] for i in range(0, len(elems), k)]
     stripes = [[] for _ in range(n)]
     for g in groups:
@@ -69,10 +76,26 @@ def encode(k: int, n: int, data: bytes):
     return stripes
 
 
+def _native():
+    try:
+        from ..native import get_native
+        return get_native()
+    except Exception:
+        return None
+
+
 def decode(k: int, n: int, stripes) -> bytes:
     """stripes: list of length n with None for missing; needs >= k present."""
     zs = tuple(j for j, s in enumerate(stripes) if s is not None)[:k]
     assert len(zs) == k, "not enough stripes"
+    nat = _native()
+    ngroups0 = len(stripes[zs[0]])
+    if nat is not None and ngroups0 * k >= 4 * k:
+        from ..native import bytes_to_ints, ints_to_bytes
+        ys = [int(stripes[z][g]) for z in zs for g in range(ngroups0)]
+        flat = bytes_to_ints(nat.lagrange_interpolate(
+            ints_to_bytes([z + 1 for z in zs]), ints_to_bytes(ys), k))
+        return _unpack(flat)
     # interpolate coefficients per group via Lagrange at the k points
     xs = [z + 1 for z in zs]
     ngroups = len(stripes[zs[0]])

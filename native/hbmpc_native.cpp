@@ -1,0 +1,369 @@
+// Native host kernels for honeybadgermpc_tpu.
+//
+// TPU-native replacement for the runtime role of the reference's C++/NTL
+// layer (honeybadgermpc/ntl/) on the HOST side: the device compute path is
+// JAX/Pallas, but the control plane (erasure-coded broadcast striping,
+// host polynomial algebra for consensus payloads) needs fast exact GF(p)
+// arithmetic too. 4x64-bit limb Montgomery arithmetic over the BLS12-381
+// scalar field with __int128 partial products; exposed through the raw
+// CPython C API (no pybind11 in this image).
+//
+// Exposed functions (all little-endian 32-byte elements packed in bytes):
+//   mulmod_vec(a, b)            elementwise modular multiply
+//   addmod_vec(a, b), submod_vec(a, b)
+//   powmod_vec(a, e_bytes)      elementwise a^e for one shared exponent
+//   inv_vec(a)                  elementwise inverse (Fermat)
+//   poly_eval_batch(coeffs, k, xs)   Horner eval of ngroups polys at m ints
+//   rs_encode(k, n, elems)      erasure stripes (groups of k -> n points)
+//   lagrange_interpolate(xs, ys, k)  coefficients through k points
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+typedef uint64_t u64;
+typedef unsigned __int128 u128;
+
+static const u64 P_[4] = {0xffffffff00000001ULL, 0x53bda402fffe5bfeULL,
+                          0x3339d80809a1d805ULL, 0x73eda753299d7d48ULL};
+static const u64 INV = 0xfffffffeffffffffULL;       // -p^{-1} mod 2^64
+static const u64 R1_[4] = {0x00000001fffffffeULL, 0x5884b7fa00034802ULL,
+                           0x998c4fefecbc4ff5ULL, 0x1824b159acc5056fULL};
+static const u64 R2_[4] = {0xc999e990f3f29c6dULL, 0x2b6cedcb87925c23ULL,
+                           0x05d314967254398fULL, 0x0748d9d99f59ff11ULL};
+
+struct Fr { u64 v[4]; };
+
+static inline bool geq_p(const u64 a[4]) {
+    for (int i = 3; i >= 0; --i) {
+        if (a[i] > P_[i]) return true;
+        if (a[i] < P_[i]) return false;
+    }
+    return true;
+}
+
+static inline void sub_p(u64 a[4]) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 d = (u128)a[i] - P_[i] - borrow;
+        a[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+}
+
+static inline void add_(const u64 a[4], const u64 b[4], u64 o[4]) {
+    u128 c = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 s = (u128)a[i] + b[i] + c;
+        o[i] = (u64)s;
+        c = s >> 64;
+    }
+    if (c || geq_p(o)) sub_p(o);
+}
+
+static inline void sub_(const u64 a[4], const u64 b[4], u64 o[4]) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 d = (u128)a[i] - b[i] - borrow;
+        o[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+    if (borrow) {                    // add p back
+        u128 c = 0;
+        for (int i = 0; i < 4; ++i) {
+            u128 s = (u128)o[i] + P_[i] + c;
+            o[i] = (u64)s;
+            c = s >> 64;
+        }
+    }
+}
+
+// Montgomery CIOS multiply: o = a*b*R^{-1} mod p
+static void mont_mul(const u64 a[4], const u64 b[4], u64 o[4]) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; ++i) {
+        u128 c = 0;
+        for (int j = 0; j < 4; ++j) {
+            u128 s = (u128)t[j] + (u128)a[i] * b[j] + c;
+            t[j] = (u64)s;
+            c = s >> 64;
+        }
+        u128 s = (u128)t[4] + c;
+        t[4] = (u64)s;
+        t[5] = (u64)(s >> 64);
+
+        u64 m = t[0] * INV;
+        c = ((u128)t[0] + (u128)m * P_[0]) >> 64;
+        for (int j = 1; j < 4; ++j) {
+            u128 s2 = (u128)t[j] + (u128)m * P_[j] + c;
+            t[j - 1] = (u64)s2;
+            c = s2 >> 64;
+        }
+        s = (u128)t[4] + c;
+        t[3] = (u64)s;
+        t[4] = t[5] + (u64)(s >> 64);
+        t[5] = 0;
+    }
+    memcpy(o, t, 32);
+    if (t[4] || geq_p(o)) sub_p(o);
+}
+
+static void to_mont(const u64 a[4], u64 o[4]) { mont_mul(a, R2_, o); }
+static void from_mont(const u64 a[4], u64 o[4]) {
+    static const u64 one[4] = {1, 0, 0, 0};
+    mont_mul(a, one, o);
+}
+
+static void mont_pow(const u64 base[4], const u64 e[4], int ebits, u64 o[4]) {
+    u64 acc[4]; memcpy(acc, R1_, 32);           // 1 in Montgomery form
+    u64 b[4]; memcpy(b, base, 32);
+    for (int bit = 0; bit < ebits; ++bit) {
+        if ((e[bit / 64] >> (bit % 64)) & 1) {
+            u64 tmp[4]; mont_mul(acc, b, tmp); memcpy(acc, tmp, 32);
+        }
+        u64 sq[4]; mont_mul(b, b, sq); memcpy(b, sq, 32);
+    }
+    memcpy(o, acc, 32);
+}
+
+static const u64 P_MINUS_2[4] = {0xfffffffeffffffffULL, 0x53bda402fffe5bfeULL,
+                                 0x3339d80809a1d805ULL, 0x73eda753299d7d48ULL};
+
+static void mont_inv(const u64 a[4], u64 o[4]) {
+    mont_pow(a, P_MINUS_2, 255, o);
+}
+
+// ---------------------------------------------------------------------------
+
+static bool get_elems(PyObject* obj, std::vector<Fr>& out) {
+    Py_buffer view;
+    if (PyObject_GetBuffer(obj, &view, PyBUF_SIMPLE) != 0) return false;
+    if (view.len % 32) {
+        PyBuffer_Release(&view);
+        PyErr_SetString(PyExc_ValueError, "length must be a multiple of 32");
+        return false;
+    }
+    size_t n = view.len / 32;
+    out.resize(n);
+    memcpy(out.data(), view.buf, view.len);
+    PyBuffer_Release(&view);
+    return true;
+}
+
+static PyObject* pack(const std::vector<Fr>& v) {
+    return PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(v.data()), v.size() * 32);
+}
+
+typedef void (*binop_fn)(const u64*, const u64*, u64*);
+
+static void op_mul(const u64* a, const u64* b, u64* o) {
+    u64 am[4], bm[4], om[4];
+    to_mont(a, am); to_mont(b, bm);
+    mont_mul(am, bm, om); from_mont(om, o);
+}
+static void op_add(const u64* a, const u64* b, u64* o) { add_(a, b, o); }
+static void op_sub(const u64* a, const u64* b, u64* o) { sub_(a, b, o); }
+
+static PyObject* binop(PyObject* args, binop_fn fn) {
+    PyObject *ao, *bo;
+    if (!PyArg_ParseTuple(args, "OO", &ao, &bo)) return nullptr;
+    std::vector<Fr> a, b;
+    if (!get_elems(ao, a) || !get_elems(bo, b)) return nullptr;
+    if (a.size() != b.size()) {
+        PyErr_SetString(PyExc_ValueError, "size mismatch");
+        return nullptr;
+    }
+    std::vector<Fr> o(a.size());
+    for (size_t i = 0; i < a.size(); ++i) fn(a[i].v, b[i].v, o[i].v);
+    return pack(o);
+}
+
+static PyObject* py_mulmod(PyObject*, PyObject* args) { return binop(args, op_mul); }
+static PyObject* py_addmod(PyObject*, PyObject* args) { return binop(args, op_add); }
+static PyObject* py_submod(PyObject*, PyObject* args) { return binop(args, op_sub); }
+
+static PyObject* py_powmod(PyObject*, PyObject* args) {
+    PyObject *ao, *eo;
+    if (!PyArg_ParseTuple(args, "OO", &ao, &eo)) return nullptr;
+    std::vector<Fr> a, e;
+    if (!get_elems(ao, a) || !get_elems(eo, e)) return nullptr;
+    if (e.size() != 1) {
+        PyErr_SetString(PyExc_ValueError, "one exponent"); return nullptr;
+    }
+    std::vector<Fr> o(a.size());
+    for (size_t i = 0; i < a.size(); ++i) {
+        u64 am[4], om[4];
+        to_mont(a[i].v, am);
+        mont_pow(am, e[0].v, 255, om);
+        from_mont(om, o[i].v);
+    }
+    return pack(o);
+}
+
+static PyObject* py_inv(PyObject*, PyObject* args) {
+    PyObject* ao;
+    if (!PyArg_ParseTuple(args, "O", &ao)) return nullptr;
+    std::vector<Fr> a;
+    if (!get_elems(ao, a)) return nullptr;
+    std::vector<Fr> o(a.size());
+    for (size_t i = 0; i < a.size(); ++i) {
+        u64 am[4], om[4];
+        to_mont(a[i].v, am);
+        mont_inv(am, om);
+        from_mont(om, o[i].v);
+    }
+    return pack(o);
+}
+
+// rs_encode(k, n, elems): elems = ngroups*k coefficients (plain domain);
+// returns n stripes, each ngroups elements: stripe j = poly evals at x=j+1.
+static PyObject* py_rs_encode(PyObject*, PyObject* args) {
+    int k, n;
+    PyObject* eo;
+    if (!PyArg_ParseTuple(args, "iiO", &k, &n, &eo)) return nullptr;
+    std::vector<Fr> elems;
+    if (!get_elems(eo, elems)) return nullptr;
+    if (elems.size() % k) {
+        PyErr_SetString(PyExc_ValueError, "elems % k != 0"); return nullptr;
+    }
+    size_t ngroups = elems.size() / k;
+    // Montgomery-convert coefficients once
+    std::vector<Fr> cm(elems.size());
+    for (size_t i = 0; i < elems.size(); ++i) to_mont(elems[i].v, cm[i].v);
+    std::vector<Fr> out((size_t)n * ngroups);
+    for (int j = 0; j < n; ++j) {
+        // x = j+1 in Montgomery form
+        u64 xp[4] = {(u64)(j + 1), 0, 0, 0};
+        u64 xm[4]; to_mont(xp, xm);
+        for (size_t g = 0; g < ngroups; ++g) {
+            u64 acc[4] = {0, 0, 0, 0};
+            for (int c = k - 1; c >= 0; --c) {
+                u64 t1[4];
+                mont_mul(acc, xm, t1);
+                add_(t1, cm[g * k + c].v, acc);
+            }
+            from_mont(acc, out[(size_t)j * ngroups + g].v);
+        }
+    }
+    return pack(out);
+}
+
+// poly_eval_batch(coeffs, k, xs): ngroups polys (k coeffs each), eval at
+// each 32-byte x in xs -> [nx * ngroups] values (x-major).
+static PyObject* py_poly_eval(PyObject*, PyObject* args) {
+    PyObject *co, *xo;
+    int k;
+    if (!PyArg_ParseTuple(args, "OiO", &co, &k, &xo)) return nullptr;
+    std::vector<Fr> coeffs, xs;
+    if (!get_elems(co, coeffs) || !get_elems(xo, xs)) return nullptr;
+    size_t ngroups = coeffs.size() / k;
+    std::vector<Fr> cm(coeffs.size());
+    for (size_t i = 0; i < coeffs.size(); ++i) to_mont(coeffs[i].v, cm[i].v);
+    std::vector<Fr> out(xs.size() * ngroups);
+    for (size_t xi = 0; xi < xs.size(); ++xi) {
+        u64 xm[4]; to_mont(xs[xi].v, xm);
+        for (size_t g = 0; g < ngroups; ++g) {
+            u64 acc[4] = {0, 0, 0, 0};
+            for (int c = k - 1; c >= 0; --c) {
+                u64 t1[4];
+                mont_mul(acc, xm, t1);
+                add_(t1, cm[g * k + c].v, acc);
+            }
+            from_mont(acc, out[xi * ngroups + g].v);
+        }
+    }
+    return pack(out);
+}
+
+// lagrange_interpolate(xs, ys, k): k points -> k coefficients, per group
+// (ys = ngroups blocks laid out point-major: ys[point][group]).
+static PyObject* py_interpolate(PyObject*, PyObject* args) {
+    PyObject *xo, *yo;
+    int k;
+    if (!PyArg_ParseTuple(args, "OOi", &xo, &yo, &k)) return nullptr;
+    std::vector<Fr> xs, ys;
+    if (!get_elems(xo, xs) || !get_elems(yo, ys)) return nullptr;
+    if ((int)xs.size() != k || ys.size() % k) {
+        PyErr_SetString(PyExc_ValueError, "bad sizes"); return nullptr;
+    }
+    size_t ngroups = ys.size() / k;
+    std::vector<Fr> xm(k), ym(ys.size());
+    for (int i = 0; i < k; ++i) to_mont(xs[i].v, xm[i].v);
+    for (size_t i = 0; i < ys.size(); ++i) to_mont(ys[i].v, ym[i].v);
+
+    // master poly A(X) = prod (X - x_i), coefficients in Montgomery form
+    std::vector<Fr> A(k + 1);
+    memset(A.data(), 0, (k + 1) * 32);
+    memcpy(A[0].v, R1_, 32);
+    int deg = 0;
+    for (int i = 0; i < k; ++i) {
+        // A *= (X - x_i)
+        for (int d = deg + 1; d >= 0; --d) {
+            u64 shifted[4] = {0, 0, 0, 0};
+            if (d > 0) memcpy(shifted, A[d - 1].v, 32);
+            u64 t1[4];
+            mont_mul(A[d].v, xm[i].v, t1);
+            sub_(shifted, t1, A[d].v);
+        }
+        ++deg;
+    }
+    std::vector<Fr> out(ngroups * k);
+    memset(out.data(), 0, out.size() * 32);
+    std::vector<Fr> basis(k);
+    for (int j = 0; j < k; ++j) {
+        // N_j = A / (X - x_j) via synthetic division; denom prod
+        std::vector<Fr> nj(k);
+        u64 carry[4]; memcpy(carry, A[k].v, 32);
+        for (int d = k - 1; d >= 0; --d) {
+            memcpy(nj[d].v, carry, 32);
+            u64 t1[4];
+            mont_mul(carry, xm[j].v, t1);
+            add_(A[d].v, t1, carry);
+        }
+        u64 den[4]; memcpy(den, R1_, 32);
+        for (int m2 = 0; m2 < k; ++m2) {
+            if (m2 == j) continue;
+            u64 diff[4], t1[4];
+            sub_(xm[j].v, xm[m2].v, diff);
+            mont_mul(den, diff, t1);
+            memcpy(den, t1, 32);
+        }
+        u64 dinv[4]; mont_inv(den, dinv);
+        for (size_t g = 0; g < ngroups; ++g) {
+            u64 w[4], t1[4];
+            mont_mul(ym[j * ngroups + g].v, dinv, w);
+            for (int d = 0; d < k; ++d) {
+                mont_mul(w, nj[d].v, t1);
+                u64 t2[4];
+                add_(out[g * k + d].v, t1, t2);
+                memcpy(out[g * k + d].v, t2, 32);
+            }
+        }
+    }
+    std::vector<Fr> plain(out.size());
+    for (size_t i = 0; i < out.size(); ++i) from_mont(out[i].v, plain[i].v);
+    return pack(plain);
+}
+
+static PyMethodDef Methods[] = {
+    {"mulmod_vec", py_mulmod, METH_VARARGS, "elementwise a*b mod p"},
+    {"addmod_vec", py_addmod, METH_VARARGS, "elementwise a+b mod p"},
+    {"submod_vec", py_submod, METH_VARARGS, "elementwise a-b mod p"},
+    {"powmod_vec", py_powmod, METH_VARARGS, "elementwise a^e mod p"},
+    {"inv_vec", py_inv, METH_VARARGS, "elementwise a^-1 mod p"},
+    {"rs_encode", py_rs_encode, METH_VARARGS, "erasure-stripe encode"},
+    {"poly_eval_batch", py_poly_eval, METH_VARARGS, "batch Horner eval"},
+    {"lagrange_interpolate", py_interpolate, METH_VARARGS,
+     "batch Lagrange interpolation"},
+    {nullptr, nullptr, 0, nullptr}};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_hbmpc_native",
+    "Native GF(p) host kernels for honeybadgermpc_tpu", -1, Methods};
+
+PyMODINIT_FUNC PyInit__hbmpc_native(void) {
+    return PyModule_Create(&moduledef);
+}
