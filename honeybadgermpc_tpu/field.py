@@ -184,3 +184,49 @@ class GFElement(FieldElement):
 
     def __hash__(self):
         return hash((self.value, self.modulus))
+
+
+def fake_gf(modulus):
+    """No-op benchmark stub field (reference field.py:292-365): all
+    arithmetic returns inputs unchanged so communication cost can be
+    isolated from field math in benchmarks."""
+
+    class FakeField:
+        def __init__(self, m):
+            self.modulus = m
+
+        def __call__(self, value):
+            return FakeFieldElement(int(value), self)
+
+        def random(self, seed=None):
+            return FakeFieldElement(Random(seed).randint(0, self.modulus - 1),
+                                    self)
+
+    class FakeFieldElement(FieldElement):
+        def __init__(self, value, field):
+            self.value = int(value)
+            self.field = field
+            self.modulus = field.modulus
+
+        def _same(self, other):
+            return self
+
+        __add__ = __radd__ = __sub__ = __rsub__ = _same
+        __mul__ = __rmul__ = __truediv__ = __rtruediv__ = _same
+
+        def __pow__(self, e):
+            return self
+
+        def __invert__(self):
+            return self
+
+        def __neg__(self):
+            return self
+
+        def __eq__(self, other):
+            return isinstance(other, FakeFieldElement) and                 self.value == other.value
+
+        def __hash__(self):
+            return hash(("fake", self.value))
+
+    return FakeField(modulus)

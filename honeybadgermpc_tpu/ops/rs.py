@@ -147,6 +147,31 @@ def _scatter_matrix(n: int, zs: tuple):
     return ints_to_limbs(np.vectorize(lambda v: v * R_MOD_P % P, otypes=[object])(m))
 
 
+class EncoderSelector:
+    """Evaluation-domain heuristic (reference reed_solomon.py:406-459):
+    tiny n -> Vandermonde matmul; large n -> FFT domain; in between,
+    power-of-two proximity decides (the reference also weighs batch size
+    against cores — on TPU the batch axis is free, so proximity rules)."""
+
+    @staticmethod
+    def select(n: int, batch_size: int = 1) -> bool:
+        """Returns use_omega_powers."""
+        if n < 8:
+            return False
+        if n >= 128:
+            return True
+        order = next_pow2(n)
+        # close to a power of two -> little padding waste -> FFT
+        return (order - n) <= n // 4
+
+    @staticmethod
+    def get(n: int, batch_size: int = 1) -> "Encoding":
+        return Encoding(n, EncoderSelector.select(n, batch_size))
+
+
+DecoderSelector = EncoderSelector  # same heuristic both directions
+
+
 def optimistic_check(enc: Encoding, coeffs: FpArray, zs_check, ys_check: FpArray):
     """Re-encode decoded coefficients and compare against additional shares
     (the reference IncrementalDecoder's optimistic validation,
