@@ -33,26 +33,35 @@ def main():
     NSEG = 4
     B = SEG * NSEG                            # 65472 ~= 2^16 shares
 
+    import jax
+    import jax.numpy as jnp
+
     pre = PreProcessedElements(n, t, seed=0)
     segs = []
     for _ in range(NSEG):                     # deal segment-wise (HBM)
         pre.generate_rands(SEG)
         segs.append(pre.get_rands(SEG))       # [n, SEG]
+    stacked = jnp.stack([s.limbs for s in segs], 0)   # [NSEG, L, n, SEG]
 
     run = _sim_reconstruct_jit(n, t, False, True)
 
+    @jax.jit
+    def run_all(st):
+        # sequential map over segments: one dispatch for the whole batch,
+        # peak memory of a single segment
+        return jax.lax.map(run, st)
+
     # correctness gate: no decode errors on honest shares
-    out, nerr = run(segs[0].limbs)
+    out, nerr = run_all(stacked)
     out.block_until_ready()
     assert int(nerr.sum()) == 0
 
-    # timed runs over all segments
+    # timed runs
     iters = 2
     t0 = time.perf_counter()
     for _ in range(iters):
-        outs = [run(s.limbs) for s in segs]
-    for o, _ in outs:
-        o.block_until_ready()
+        out, _ = run_all(stacked)
+    out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
 
     rate = B / dt

@@ -1,0 +1,203 @@
+"""Benchmark suite mirroring the reference's pytest-benchmark grids
+(SURVEY §6 / reference benchmark/*):
+
+  batch_opening      (n,t) in {(4,1),(7,2)} x k in 2^3..2^10  + north-star
+  poly_interpolate   Lagrange (Vandermonde matmul) n = 2^4..2^10
+  fft_interpolate    NTT n = 2^4..2^14
+  gao_decode         t in {1,3,5,10}, n = 3t+1, with t faults
+  mimc               batch in {1,10,100,1000}, n=4, t=1
+  jubjub             shared point add / double-and-add mul
+  refinement         hyperinvertible encode n in {4,10,16,50,100}
+  preprocessing      dealer generation (n,t,k) grids
+
+Run:  python benchmark/run_benchmarks.py [names...]
+Each result prints one JSON line {"bench": ..., "params": ..., "value":
+..., "unit": ...}. Designed for the real TPU chip (also runs on CPU).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _emit(bench, params, value, unit):
+    print(json.dumps({"bench": bench, "params": params,
+                      "value": round(value, 2), "unit": unit}), flush=True)
+
+
+def _time(fn, iters=3):
+    fn()  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    _block(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _block(out):
+    try:
+        import jax
+        jax.tree.map(lambda x: getattr(x, "block_until_ready", lambda: x)(),
+                     out)
+    except Exception:
+        pass
+
+
+def bench_batch_opening():
+    import jax
+    from honeybadgermpc_tpu.parallel.reconstruct import _sim_reconstruct_jit
+    from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
+    for n, t in [(4, 1), (7, 2)]:
+        for logk in (6, 10):
+            k = ((1 << logk) // (t + 1)) * (t + 1)
+            pre = PreProcessedElements(n, t, seed=0)
+            pre.generate_rands(k)
+            shares = pre.get_rands(k)
+            run = _sim_reconstruct_jit(n, t, False, True)
+            dt = _time(lambda: run(shares.limbs))
+            _emit("batch_opening", {"n": n, "t": t, "k": k}, k / dt, "shares/s")
+
+
+def bench_poly_interpolate():
+    from honeybadgermpc_tpu.ops.fparray import FpArray
+    from honeybadgermpc_tpu.ops.fpmatmul import vandermonde_batch_interpolate
+    import jax
+    for logn in (4, 7, 10):
+        n = 1 << logn
+        ys = FpArray.rand(jax.random.PRNGKey(0), (8, n))
+        xs = list(range(1, n + 1))
+        dt = _time(lambda: vandermonde_batch_interpolate(xs, ys))
+        _emit("lagrange_interpolate", {"n": n, "batch": 8},
+              8 * n / dt, "points/s")
+
+
+def bench_fft_interpolate():
+    import jax
+    from honeybadgermpc_tpu.ops.fparray import FpArray
+    from honeybadgermpc_tpu.ops.ntt import fft_interpolate
+    from honeybadgermpc_tpu.polynomial import get_omega_int
+    from honeybadgermpc_tpu.ops.limbs import P
+    for logn in (4, 8, 12, 14):
+        n = 1 << logn
+        omega = get_omega_int(P, n, seed=0)
+        batch = max(1, (1 << 16) // n)
+        ys = FpArray.rand(jax.random.PRNGKey(1), (batch, n))
+        dt = _time(lambda: fft_interpolate(ys, omega))
+        _emit("fft_interpolate", {"n": n, "batch": batch},
+              batch * n / dt, "points/s")
+
+
+def bench_gao_decode():
+    import jax
+    from honeybadgermpc_tpu.ops.fparray import FpArray
+    from honeybadgermpc_tpu.ops.gao import gao_robust_decode
+    from honeybadgermpc_tpu.ops.rs import Encoding
+    for t in (1, 3, 5, 10):
+        n = 3 * t + 1
+        k = t + 1
+        enc = Encoding(n)
+        batch = 256
+        coeffs = FpArray.rand(jax.random.PRNGKey(2), (batch, k))
+        shares = enc.encode(coeffs)
+        # corrupt t positions
+        bad = FpArray.rand(jax.random.PRNGKey(3), (batch, t))
+        import jax.numpy as jnp
+        limbs = shares.limbs.at[:, :, :t].set(bad.limbs)
+        shares = FpArray(limbs)
+        zs = tuple(range(n))
+        dt = _time(lambda: gao_robust_decode(enc, zs, shares, k))
+        _emit("gao_decode", {"t": t, "n": n, "batch": batch},
+              batch / dt, "decodes/s")
+
+
+def bench_mimc():
+    from honeybadgermpc_tpu.models.mimc import mimc_mpc_batch
+    from honeybadgermpc_tpu.runtime.context import MpcContext
+    from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
+    for batch in (10, 100):
+        n, t = 4, 1
+        pre = PreProcessedElements(n, t, seed=0)
+        pre.generate_cubes(161 * batch * 2 + 64)
+        ctx = MpcContext(n, t, preproc=pre)
+        xs = ctx.from_preproc(pre.get_rands(batch)) \
+            if pre._pools.get("rands") else None
+        pre.generate_rands(batch)
+        xs = ctx.from_preproc(pre.get_rands(batch))
+        t0 = time.perf_counter()
+        out = mimc_mpc_batch(ctx, xs, 12345)
+        _block(out.v.limbs)
+        dt = time.perf_counter() - t0
+        _emit("mimc_batch", {"batch": batch, "n": n, "t": t},
+              batch / dt, "blocks/s")
+
+
+def bench_jubjub():
+    from honeybadgermpc_tpu.elliptic_curve import Point
+    from honeybadgermpc_tpu.models.jubjub import SharedPoint
+    from honeybadgermpc_tpu.runtime.context import MpcContext
+    from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
+    n, t = 4, 1
+    pre = PreProcessedElements(n, t, seed=0)
+    pre.generate_triples(1 << 14)
+    pre.generate_rands(1 << 12)
+    ctx = MpcContext(n, t, preproc=pre)
+    p = Point(5,
+              6846412461894745224441235558443359243034138132682534265960483512729196124138)
+    B = 64
+    sp = SharedPoint.from_point(ctx, p, (B,))
+    t0 = time.perf_counter()
+    sp2 = sp.add(sp.double())
+    _block(sp2.xs.v.limbs)
+    dt = time.perf_counter() - t0
+    _emit("jubjub_add_double", {"batch": B}, 2 * B / dt, "point-ops/s")
+    t0 = time.perf_counter()
+    spm = sp.mul(0xFFFF)
+    _block(spm.xs.v.limbs)
+    dt = time.perf_counter() - t0
+    _emit("jubjub_scalar_mul16", {"batch": B}, B / dt, "muls/s")
+
+
+def bench_refinement():
+    import jax
+    from honeybadgermpc_tpu.ops.fparray import FpArray
+    from honeybadgermpc_tpu.runtime.refinement import refine_randoms
+    for n in (4, 16, 64):
+        t = (n - 1) // 3
+        k = n - t
+        batch = 512
+        shares = FpArray.rand(jax.random.PRNGKey(4), (batch, k))
+        dt = _time(lambda: refine_randoms(n, t, shares))
+        _emit("random_refinement", {"n": n, "batch": batch},
+              batch * (k - t) / dt, "outputs/s")
+
+
+def bench_preprocessing():
+    from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
+    for n, t, k in [(4, 1, 1024), (16, 5, 512), (50, 15, 256)]:
+        pre = PreProcessedElements(n, t, seed=0)
+        t0 = time.perf_counter()
+        pre.generate_triples(k)
+        _block(pre._pools["triples"].data.limbs)
+        dt = time.perf_counter() - t0
+        _emit("preprocessing_triples", {"n": n, "t": t, "k": k},
+              k / dt, "triples/s")
+
+
+ALL = {
+    "batch_opening": bench_batch_opening,
+    "poly_interpolate": bench_poly_interpolate,
+    "fft_interpolate": bench_fft_interpolate,
+    "gao_decode": bench_gao_decode,
+    "mimc": bench_mimc,
+    "jubjub": bench_jubjub,
+    "refinement": bench_refinement,
+    "preprocessing": bench_preprocessing,
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(ALL)
+    for name in names:
+        ALL[name]()

@@ -71,10 +71,15 @@ def fp_matmul(a: FpArray, m: FpArray) -> FpArray:
         numel *= d
     if _use_pallas(numel * m.shape[1]):
         from .limbs import L as _L
-        from .pallas_field import fp_matmul_pallas
         k = a.shape[-1]
         flat = a.limbs.reshape(_L, numel, k)
-        out = fp_matmul_pallas(flat, m.limbs)
+        if numel >= 1024 and k * 37 * 127 * 127 < 2 ** 31:
+            # MXU path: int8 plane matmul + REDC epilogue (~2.5 Gmul/s)
+            from .mxu_matmul import fp_matmul_mxu
+            out = fp_matmul_mxu(flat, m.limbs)
+        else:
+            from .pallas_field import fp_matmul_pallas
+            out = fp_matmul_pallas(flat, m.limbs)
         return FpArray(out.reshape((_L,) + batch_shape + (m.shape[1],)))
     return FpArray(_matmul_kernel(a.limbs, m.limbs))
 
@@ -92,8 +97,9 @@ def _vandermonde_np(xs: tuple, k: int):
 def vandermonde_matrix(xs: tuple, k: int) -> FpArray:
     """V[k, n] with V[i, j] = xs[j]^i (host-exact, Montgomery constants).
     NOTE: caches live as numpy so a first call inside a jit trace can't
-    leak a tracer into the cache."""
-    return FpArray(jnp.asarray(_vandermonde_np(xs, k)))
+    leak a tracer into the cache; eager calls reuse a device copy."""
+    from .devcache import dev_const
+    return FpArray(dev_const(_vandermonde_np(xs, k)))
 
 
 @lru_cache(maxsize=None)
@@ -128,7 +134,8 @@ def _lagrange_matrix_np(xs: tuple):
 
 
 def lagrange_matrix(xs: tuple) -> FpArray:
-    return FpArray(jnp.asarray(_lagrange_matrix_np(xs)))
+    from .devcache import dev_const
+    return FpArray(dev_const(_lagrange_matrix_np(xs)))
 
 
 def vandermonde_batch_evaluate(xs, coeffs: FpArray) -> FpArray:
@@ -157,7 +164,8 @@ def lagrange_evaluate_at(xs, ys: FpArray, x0: int = 0) -> FpArray:
 
 
 def _lagrange_coeffs_at(xs: tuple, x0: int) -> FpArray:
-    return FpArray(jnp.asarray(_lagrange_coeffs_at_np(xs, x0)))
+    from .devcache import dev_const
+    return FpArray(dev_const(_lagrange_coeffs_at_np(xs, x0)))
 
 
 @lru_cache(maxsize=None)

@@ -92,7 +92,8 @@ def gao_robust_decode(enc: Encoding, zs, ys: FpArray, k: int):
     m = len(zs)
     assert ys.shape[-1] == m and k <= m
     xs = tuple(enc.points[z] for z in zs)
-    g0 = jnp.asarray(_g0_coeffs(xs))                       # [L, m+1]
+    from .devcache import dev_const
+    g0 = dev_const(_g0_coeffs(xs))                         # [L, m+1]
     g1 = enc.decode(zs, ys)                                # [..., m]
     return _gao_kernel(m, k, xs)(g1.limbs, g0)
 
@@ -180,7 +181,8 @@ def _gao_kernel(m: int, k: int, xs: tuple):
     def _vand_eval(f_limbs):
         # f[..., M] @ vand[M, m] evaluated via the fpmatmul kernel
         from .fpmatmul import _matmul_kernel
-        return _matmul_kernel(f_limbs, jnp.asarray(vand_np))
+        from .devcache import dev_const
+        return _matmul_kernel(f_limbs, dev_const(vand_np))
 
     def wrapper(g1_limbs, g0):
         f, reenc, ok = kernel(g1_limbs, g0)

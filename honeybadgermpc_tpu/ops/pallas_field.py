@@ -155,50 +155,76 @@ def _mul_kernel_4d(a_ref, b_ref, o_ref):
 # vector tile — no lane padding for the typical n = 64 party count (the
 # first kernel generation put n on lanes and wasted half the VPU).
 
-def _matmul_kernel(a_ref, v_ref, o_ref, *, k, n):
-    """a_ref [L, k, TBL]; v_ref [L, k, n]; o_ref [L, n, TBL]
-    o[:, j, b] = sum_k a[:, k, b] * v[:, k, j] over GF(p)."""
+def _matmul_kernel(a_ref, v_ref, o_ref, *, kt, tn):
+    """One (B-tile, n-tile, k-tile) grid step:
+    a_ref [L, KT, TBL]; v_ref [L, KT, TN]; o_ref [L, TN, TBL].
+    The k grid dimension is minormost, so o_ref persists across the KT
+    steps and accumulates modularly (the standard reduction pattern);
+    step 0 initializes it."""
     TBL = a_ref.shape[2]
-    shape = (n, TBL)
+    shape = (tn, TBL)
+    kk_idx = pl.program_id(2)
     acc = None
-    for kk in range(k):
+    for kk in range(kt):
         a_col = [a_ref[j, kk, :][None, :] for j in range(L)]   # [1, TBL]
-        v_row = [v_ref[j, kk, :][:, None] for j in range(L)]   # [n, 1]
+        v_row = [v_ref[j, kk, :][:, None] for j in range(L)]   # [TN, 1]
         prod = _cios([jnp.broadcast_to(x, shape) for x in a_col],
                      [jnp.broadcast_to(x, shape) for x in v_row], shape)
         acc = prod if acc is None else _add_mod(acc, prod, shape)
-    o_ref[...] = jnp.stack(acc, axis=0)
+
+    @pl.when(kk_idx == 0)
+    def _():
+        o_ref[...] = jnp.stack(acc, axis=0)
+
+    @pl.when(kk_idx != 0)
+    def _():
+        prev = [o_ref[j] for j in range(L)]
+        o_ref[...] = jnp.stack(_add_mod(prev, acc, shape), axis=0)
 
 
 def fp_matmul_pallas(a, v):
     """a[L, B, k] @ v[L, k, n] -> [L, B, n] over GF(p), Montgomery form.
-    B is tiled over the grid (lane-major inside the kernel); k and n live
-    entirely in VMEM per step."""
+    3-D grid: B rides the lanes (TBL), the output axis n rides sublanes
+    (TN), and the contraction is tiled (KT) with in-place modular
+    accumulation — bounded VMEM for any (B, k, n)."""
     Lx, B, k = a.shape
     n = v.shape[2]
-    TBL = 128  # [n, TBL] register tiles; 512 blew the scoped-vmem stack
+    TBL = 128
+    KT = min(k, 16)
+    TN = min(n, 128)
     bpad = -B % TBL
+    kpad = -k % KT
+    npad = -n % TN
     at = jnp.swapaxes(a, 1, 2)                       # [L, k, B]
     if bpad:
         at = jnp.concatenate([at, jnp.zeros((L, k, bpad), jnp.uint32)], 2)
+    if kpad:
+        at = jnp.concatenate(
+            [at, jnp.zeros((L, kpad, B + bpad), jnp.uint32)], 1)
+        v = jnp.concatenate([v, jnp.zeros((L, kpad, n), jnp.uint32)], 1)
+    if npad:
+        v = jnp.concatenate(
+            [v, jnp.zeros((L, k + kpad, npad), jnp.uint32)], 2)
     nb = (B + bpad) // TBL
-    kern = functools.partial(_matmul_kernel, k=k, n=n)
+    nn = (n + npad) // TN
+    nk = (k + kpad) // KT
+    kern = functools.partial(_matmul_kernel, kt=KT, tn=TN)
     out = pl.pallas_call(
         kern,
-        grid=(nb,),
+        grid=(nb, nn, nk),
         in_specs=[
-            pl.BlockSpec((L, k, TBL), lambda i: (0, 0, i),
+            pl.BlockSpec((L, KT, TBL), lambda i, j, kk: (0, kk, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, k, n), lambda i: (0, 0, 0),
+            pl.BlockSpec((L, KT, TN), lambda i, j, kk: (0, kk, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((L, n, TBL), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((L, TN, TBL), lambda i, j, kk: (0, j, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, n, B + bpad), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, n + npad, B + bpad), jnp.uint32),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * (B + bpad) * k * n * L * L,
+            flops=2 * (B + bpad) * (k + kpad) * (n + npad) * L * L,
             bytes_accessed=4 * L * ((B + bpad) * (k + n) + k * n),
             transcendentals=0),
     )(at, v)
-    return jnp.swapaxes(out[:, :, :B], 1, 2)
+    return jnp.swapaxes(out[:, :n, :B], 1, 2)

@@ -88,15 +88,16 @@ class Encoding:
         a_evals, ai_inv, _ = _fnt_step1(n, omega2, zs)
         k = len(zs)
         # N'(X): coefficient z_i is y_i / Ai(x_i); others 0.
-        nis = ys * FpArray(jnp.asarray(ai_inv))            # [..., k]
+        from .devcache import dev_const
+        nis = ys * FpArray(dev_const(ai_inv))              # [..., k]
         scatter = _scatter_matrix(n, zs)                   # [k, n] 0/1
-        ncoeffs = fp_matmul(nis, FpArray(jnp.asarray(scatter)))
+        ncoeffs = fp_matmul(nis, FpArray(dev_const(scatter)))
         nevals = ntt(ncoeffs, omega)                       # N'(omega^i)
         # P/A(X) = -reverse(nevals) as coefficients, evaluated on 2n domain
         rev = FpArray(nevals.limbs[..., ::-1])
         power_a = -rev
         pas = fft_evaluate(power_a, omega2, 2 * n)
-        ps = pas * FpArray(jnp.asarray(a_evals))           # [..., 2n]
+        ps = pas * FpArray(dev_const(a_evals))             # [..., 2n]
         prec = intt(ps, omega2)
         return FpArray(prec.limbs[..., :k])
 

@@ -37,19 +37,46 @@ if os.environ.get("PALLAS_AXON_POOL_IPS") and os.environ.get("HBMPC_TEST_REEXEC"
     # segfaults sporadically during compilation
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                         " --xla_cpu_parallel_codegen_split_count=1").strip()
-    # Supervisor loop instead of a bare exec: this jaxlib's XLA:CPU
-    # occasionally segfaults mid-compile; a signal-death of the whole run
-    # is retried (a genuine test failure exits normally and is NOT retried).
+    # Supervisor instead of a bare exec, for two reasons:
+    # 1. this jaxlib's XLA:CPU segfaults/aborts sporadically mid-compile,
+    #    and the failure rate grows with accumulated in-process compiles —
+    #    so a full `tests/` run is SHARDED into fresh subprocesses of a few
+    #    test files each;
+    # 2. signal deaths are retried (genuine test failures exit normally
+    #    and are not).
+    import glob
     import subprocess
-    for attempt in range(3):
-        rc = subprocess.call(
-            [sys.executable, "-m", "pytest"] + sys.argv[1:], env=env)
-        if rc >= 0 and rc < 128:
-            sys.exit(rc)
-        sys.stderr.write(
-            f"\n[conftest] pytest died with signal (rc={rc}); retry "
-            f"{attempt + 1}/2\n")
-    sys.exit(rc)
+
+    def run_group(targets):
+        for attempt in range(3):
+            rc = subprocess.call(
+                [sys.executable, "-m", "pytest"] + flags + targets, env=env)
+            if 0 <= rc < 128:
+                return rc
+            sys.stderr.write(
+                f"\n[conftest] pytest died with signal (rc={rc}); retry "
+                f"{attempt + 1}/2\n")
+        return rc
+
+    args = sys.argv[1:]
+    flags = [a for a in args if a.startswith("-")]
+    targets = [a for a in args if not a.startswith("-")]
+    whole_suite = all(t.rstrip("/") in ("tests", "tests/") for t in targets) \
+        and targets
+    if not whole_suite:
+        sys.exit(run_group(targets))
+    files = sorted(glob.glob(os.path.join(targets[0].rstrip("/"),
+                                          "test_*.py")))
+    GROUP = 4
+    worst = 0
+    for i in range(0, len(files), GROUP):
+        rc = run_group(files[i:i + GROUP])
+        if rc == 5:   # no tests collected in this group
+            rc = 0
+        worst = worst or rc
+        if worst and ("-x" in flags or "--exitfirst" in flags):
+            break
+    sys.exit(worst)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
