@@ -103,10 +103,10 @@ def vandermonde_matrix(xs: tuple, k: int) -> FpArray:
 
 
 @lru_cache(maxsize=None)
-def _lagrange_matrix_np(xs: tuple):
-    """W[k, k] such that coeffs = ys @ W interpolates through (xs, ys):
-    W[j, i] = coefficient of X^i in the Lagrange basis poly L_j(X).
-    Host-exact inverse Vandermonde (pyx vandermonde_inverse:115 semantics)."""
+def _lagrange_int_rows(xs: tuple):
+    """Host-exact int rows of W[k, k] such that coeffs = ys @ W interpolates
+    through (xs, ys): W[j, i] = coefficient of X^i in the Lagrange basis
+    poly L_j(X) (pyx vandermonde_inverse:115 semantics)."""
     k = len(xs)
     # master poly A(X) = prod (X - x_j)
     a = [1]
@@ -130,7 +130,64 @@ def _lagrange_matrix_np(xs: tuple):
                 denom = denom * (xj - xm) % P
         dinv = pow(denom, P - 2, P)
         rows.append([c * dinv % P for c in nj])
+    return rows
+
+
+def _lagrange_matrix_np(xs: tuple):
+    return _mont_np(_lagrange_int_rows(xs))
+
+
+def _lam_int(xs: tuple, x0: int):
+    """lambda_j(x0): Lagrange basis of nodes xs evaluated at x0 (ints)."""
+    out = []
+    for j, xj in enumerate(xs):
+        num, den = 1, 1
+        for m_, xm in enumerate(xs):
+            if m_ != j:
+                num = num * (x0 - xm) % P
+                den = den * (xj - xm) % P
+        out.append(num * pow(den, P - 2, P) % P)
+    return out
+
+
+@lru_cache(maxsize=None)
+def _decode_validate_np(points: tuple, k: int, want_coeffs: bool):
+    """Fused decode + validate matrix for the optimistic open path.
+
+    Shares from the FIRST k parties (nodes points[:k]) are interpolated and
+    simultaneously re-evaluated at the REMAINING points[k:] in one matmul —
+    the reference's decode + re-encode validation (reed_solomon.py:305-332)
+    collapsed into a single constant matrix:
+
+      want_coeffs: W[k, n]        = [Minv | lambda(points[k:])]
+                   out[..., :k]   = polynomial coefficients
+                   out[..., k:]   = predicted shares of the other parties
+      else:        W[k, 1+(n-k)]  = [lambda(0) | lambda(points[k:])]
+                   out[..., 0]    = interpolant at 0
+                   out[..., 1:]   = predicted shares of the other parties
+    """
+    xs = tuple(points[:k])
+    cols = []
+    if want_coeffs:
+        rows = _lagrange_int_rows(xs)
+        cols = [[rows[j][i] for j in range(k)] for i in range(k)]
+    else:
+        cols = [_lam_int(xs, 0)]
+    for x in points[k:]:
+        cols.append(_lam_int(xs, int(x) % P))
+    rows = [[col[j] for col in cols] for j in range(k)]
     return _mont_np(rows)
+
+
+def decode_validate_matmul(points, k: int, ys: FpArray,
+                           want_coeffs: bool) -> FpArray:
+    """ys[..., k] (shares of parties 0..k-1) -> fused decode+validate
+    output (see _decode_validate_np)."""
+    from .devcache import dev_const
+    w = FpArray(dev_const(
+        _decode_validate_np(tuple(int(x) % P for x in points), k,
+                            want_coeffs)))
+    return fp_matmul(ys, w)
 
 
 def lagrange_matrix(xs: tuple) -> FpArray:

@@ -35,21 +35,31 @@ from ..ops.rs import Encoding
 from .mesh import MeshBackend, SimBackend
 
 
-def _decode_block(enc: Encoding, ys: FpArray, k: int, robust: bool):
-    """Decode message coeffs [..., k] from all-n shares ys[..., n] with the
-    optimistic-then-Gao strategy. Returns (coeffs, n_errors[...])."""
-    n = enc.n
-    zs_fast = tuple(range(k))
-    zs_rest = tuple(range(k, n))
+def _decode_block(enc: Encoding, ys: FpArray, k: int, robust: bool,
+                  want_coeffs: bool = True):
+    """Decode from all-n shares ys[..., n] with the optimistic-then-Gao
+    strategy. Returns (out, n_errors[...]) where out is the message coeffs
+    [..., k] (want_coeffs) or the interpolant evaluated at 0 [...].
 
-    fast = enc.decode(zs_fast, FpArray(ys.limbs[..., :k]))
+    The optimistic path is ONE matmul: interpolation from the first k
+    shares fused with re-evaluation at the other n-k party points (the
+    reference's decode + re-encode validation, reed_solomon.py:305-332)
+    via a host-precomputed constant matrix."""
+    n = enc.n
+    from ..ops.fpmatmul import decode_validate_matmul
+
+    fused = decode_validate_matmul(
+        enc.points, k, FpArray(ys.limbs[..., :k]), want_coeffs)
+    if want_coeffs:
+        fast, reenc_rest = FpArray(fused.limbs[..., :k]), fused.limbs[..., k:]
+    else:
+        fast, reenc_rest = FpArray(fused.limbs[..., 0]), fused.limbs[..., 1:]
 
     if not robust:
         return fast, jnp.zeros(ys.shape[:-1], jnp.int32)
 
-    # validate: re-encode and compare against the remaining shares
-    reenc = enc.encode(fast)
-    agree = reenc.eq(ys)                        # [..., n]
+    # validation: predicted shares of parties k..n-1 vs the received ones
+    agree = FpArray(reenc_rest).eq(FpArray(ys.limbs[..., k:]))
     all_ok = jnp.all(agree)
 
     # The Gao fallback's EEA state is ~10x the data size; running it over
@@ -78,11 +88,16 @@ def _decode_block(enc: Encoding, ys: FpArray, k: int, robust: bool):
                 enc, tuple(range(n)), FpArray(seg_limbs), k)
             errs = jnp.sum(~reenc2.eq(FpArray(seg_limbs)),
                            axis=-1).astype(jnp.int32)
-            return coeffs.limbs, errs
+            out = coeffs.limbs if want_coeffs else coeffs.limbs[..., 0]
+            return out, errs
 
         out, errs = jax.lax.map(seg_fn, segs)
-        out = jnp.moveaxis(out, 0, -3)
-        out = out.reshape(out.shape[:-3] + (nseg * SEG, k))[..., :C, :]
+        ax = -3 if want_coeffs else -2
+        out = jnp.moveaxis(out, 0, ax)
+        if want_coeffs:
+            out = out.reshape(out.shape[:-3] + (nseg * SEG, k))[..., :C, :]
+        else:
+            out = out.reshape(out.shape[:-2] + (nseg * SEG,))[..., :C]
         errs = jnp.moveaxis(errs, 0, -2)
         errs = errs.reshape(errs.shape[:-2] + (nseg * SEG,))[..., :C]
         return out, errs
@@ -113,8 +128,8 @@ def batch_reconstruct(backend, shares: FpArray, n: int, t: int,
     coeffs = shares.reshape(shares.shape[:-1] + (C, k))
     cols = enc.encode(coeffs)                    # [..., C, n]
     recv = backend.all_to_all(cols)              # [..., C, n] (psi_j shares)
-    psi_coeffs, err1 = _decode_block(enc, recv, t + 1, robust)
-    vals = FpArray(psi_coeffs.limbs[..., 0])     # psi_j(0) = S_c(x_j): [..., C]
+    vals, err1 = _decode_block(enc, recv, t + 1, robust, want_coeffs=False)
+    # vals = psi_j(0) = S_c(x_j): [..., C]
 
     # R2: everyone shares its S_c(x_j); decode S_c -> secrets
     gathered = backend.all_gather(vals)          # [..., C, n]
@@ -132,8 +147,9 @@ def robust_open_single(backend, share: FpArray, n: int, t: int,
     use for control values."""
     gathered = backend.all_gather(share)         # [..., S, n]
     enc = Encoding(n, use_omega_powers=use_omega_powers)
-    coeffs, errs = _decode_block(enc, gathered, t + 1, robust)
-    return FpArray(coeffs.limbs[..., 0]), errs
+    vals, errs = _decode_block(enc, gathered, t + 1, robust,
+                               want_coeffs=False)
+    return vals, errs
 
 
 @lru_cache(maxsize=None)
