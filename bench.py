@@ -1,19 +1,22 @@
-"""Headline benchmark: robust batch opening of 2^16 shares (n=64, t=21)
+"""Headline benchmark: robust batch opening of ~2^16 shares (n=64, t=21)
 on one TPU chip — the reference's own determinant of online performance
 (docs/performance.rst; benchmark/test_benchmark_batch_opening.py), at the
 BASELINE.json north-star configuration.
 
-Runs the full n-party protocol (both rounds, optimistic decode with robust
-validation) batched on a single chip and reports opened shares/second.
-The 2^16-share batch is processed in segments sized to HBM (the whole
-64-party simulation is resident on one chip, so working set is ~64x a
-single party's).
+Runs the full n-party protocol (encode, R1 all-to-all, per-party optimistic
+decode with in-kernel validation, R2 all-gather, per-party robust decode)
+batched on a single chip and reports opened shares/second. The batch is
+processed in segments sized to HBM (the whole 64-party simulation is
+resident on one chip, so working set is ~64x a single party's).
 
 vs_baseline compares against an NTL single-core estimate for the same
 pipeline: ~25M 255-bit modmuls/s (NTL ZZ_p on a modern core), ~60 muls per
 opened share across encode + two FNT decodes + validation => ~4.0e5
 shares/s. The reference publishes no absolute numbers (BASELINE.md), so
 this stands in for "NTL single-core" until a native CPU baseline lands.
+
+Timing forces completion with a device_get round trip (block_until_ready
+can return at enqueue time on remote-tunneled backends).
 """
 
 import json
@@ -23,15 +26,14 @@ NTL_SINGLE_CORE_EST = 4.0e5  # shares/s, see docstring
 
 
 def main():
-    from honeybadgermpc_tpu.ops.fparray import FpArray
     from honeybadgermpc_tpu.parallel.reconstruct import _sim_reconstruct_jit
     from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
 
     n, t = 64, 21
     k = t + 1
-    SEG = 16368                               # multiple of k; fits HBM
+    SEG = k * 768                             # C=768 chunks (lane-aligned)
     NSEG = 4
-    B = SEG * NSEG                            # 65472 ~= 2^16 shares
+    B = SEG * NSEG                            # 67584 ~= 2^16 shares
 
     import jax
     import jax.numpy as jnp
@@ -53,15 +55,15 @@ def main():
 
     # correctness gate: no decode errors on honest shares
     out, nerr = run_all(stacked)
-    out.block_until_ready()
-    assert int(nerr.sum()) == 0
+    assert int(jax.device_get(nerr).sum()) == 0
 
-    # timed runs
-    iters = 2
+    # timed runs (force real completion via device_get)
+    iters = 4
+    jax.device_get(out.ravel()[:1])
     t0 = time.perf_counter()
     for _ in range(iters):
         out, _ = run_all(stacked)
-    out.block_until_ready()
+    jax.device_get(out.ravel()[:1])
     dt = (time.perf_counter() - t0) / iters
 
     rate = B / dt

@@ -73,8 +73,20 @@ def fp_matmul(a: FpArray, m: FpArray) -> FpArray:
         from .limbs import L as _L
         k = a.shape[-1]
         flat = a.limbs.reshape(_L, numel, k)
-        if numel >= 1024 and k * 37 * 127 * 127 < 2 ** 31:
-            # MXU path: int8 plane matmul + REDC epilogue (~2.5 Gmul/s)
+        import os as _os
+        if (numel >= 1024 and k * 37 * 127 * 127 < 2 ** 31
+                and m.shape[1] >= 4
+                and not _os.environ.get("HBMPC_MXU_V1")):
+            # folded-constant MXU path: int8 plane matmul against a
+            # mod-p-pre-reduced band, 1-2 REDC-round epilogue
+            from .mxu_matmul import fp_matmul_mxu2, fused2_fits
+            if fused2_fits(k, m.shape[1]):
+                out = fp_matmul_mxu2(flat, m.limbs)
+            else:
+                from .mxu_matmul import fp_matmul_mxu
+                out = fp_matmul_mxu(flat, m.limbs)
+        elif numel >= 1024 and k * 37 * 127 * 127 < 2 ** 31:
+            # MXU v1 path: full product convolution + 17-round REDC
             from .mxu_matmul import fp_matmul_mxu
             out = fp_matmul_mxu(flat, m.limbs)
         else:

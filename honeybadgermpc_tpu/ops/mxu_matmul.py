@@ -294,6 +294,229 @@ def fp_matmul_mxu_fused(a_limbs, v_limbs):
 
 
 # ---------------------------------------------------------------------------
+# Folded-constant path (v2): mod-p-reduced band, 37 diagonals, 1-2 REDC rounds
+# ---------------------------------------------------------------------------
+#
+# v1 computes the full 511-bit product convolution (73 diagonals) and pays a
+# 17-round REDC epilogue. v2 folds the reduction into the CONSTANT operand:
+# for each 7-bit digit position d of the data, precompute
+#
+#     w_dk = v_k * 2^(7d) * 2^(16*ROUNDS) * R^{-1}  (mod p)        (< p)
+#
+# and decompose w_dk itself into 37 base-2^7 digits. The int8 matmul
+#
+#     diag_s = sum_{k,d} digit_d(a_k) * digit_s(w_dk)
+#
+# then represents  V = sum_s diag_s 2^(7s) = sum_{k,d} digit_d(a_k) * w_dk
+# which is ALREADY ≡ (sum_k a_k v_k) * R^{-1} * 2^(16*ROUNDS)  (mod p) and
+# bounded by 37*127*k*p. The epilogue shrinks to: fold 37 diagonals (7-bit
+# spacing) + ROUNDS Montgomery 16-bit REDC steps + two conditional
+# subtractions. ROUNDS = 1 while 37*127*k <= 2^17 (k <= 27), else 2.
+# Output columns drop from 73 to 37 per point: the MXU does ~half the work
+# of v1 and the VPU ~a quarter.
+#
+# int32 accumulator bound: 37*k*127^2 < 2^31  =>  k <= 3540.
+
+K_ROUNDS1 = (1 << 17) // (NPLANES * 127)      # = 27
+
+
+def _rounds_for(k: int) -> int:
+    return 1 if k <= K_ROUNDS1 else 2
+
+
+def _redc_step(t, shape):
+    """One 16-bit Montgomery REDC round on carry-save limb list t (u32,
+    contributions far below 2^32): t <- (t + m*p) >> 16."""
+    m = ((t[0] & MASK) * jnp.uint32(N0)) & MASK
+    for j in range(L):
+        pj = _P[j]
+        if pj == 0:
+            continue
+        if pj == 1:
+            t[j] = t[j] + m
+        elif pj == 0xFFFF:                    # m*0xFFFF = (m<<16) - m
+            t[j] = t[j] + ((-m) & MASK)
+            t[j + 1] = t[j + 1] + m - (m != 0).astype(jnp.uint32)
+        else:
+            pr = m * jnp.uint32(pj)
+            t[j] = t[j] + (pr & MASK)
+            t[j + 1] = t[j + 1] + (pr >> W)
+    carry0 = t[0] >> W
+    t = t[1:] + [jnp.zeros(shape, jnp.uint32)]
+    t[0] = t[0] + carry0
+    return t
+
+
+def _cond_sub_wide(limbs, hi, shape):
+    """Value = hi*2^256 + limbs (canonical 16-bit limbs) < 2p:
+    conditionally subtract p. Returns (limbs, hi) with hi' in {0, hi-?}..."""
+    borrow = jnp.zeros(shape, jnp.uint32)
+    d = []
+    for j in range(L):
+        v = limbs[j] - jnp.uint32(_P[j]) - borrow
+        d.append(v & MASK)
+        borrow = (v >> W) & jnp.uint32(1)
+    take = (hi != 0) | (borrow == 0)
+    hi2 = jnp.where(take, hi - borrow, hi)
+    return [jnp.where(take, d[j], limbs[j]) for j in range(L)], hi2
+
+
+def _fold_reduce(ds, shape, rounds):
+    """37 int32 diagonal arrays (7-bit spacing, each < 2^24, total value
+    V < 3p * 2^(16*rounds)) -> L canonical Montgomery uint32 limb arrays of
+    V / 2^(16*rounds) mod p."""
+    NL = 19                       # 7*36+24 = 276 bits -> 18 limbs (+1 slack)
+    t = [jnp.zeros(shape, jnp.uint32) for _ in range(NL)]
+    # pair adjacent diagonals: e = d_2i + (d_2i+1 << 7) < 2^24 + 2^31 < 2^32
+    pairs = []
+    for i in range(0, NPLANES - 1, 2):
+        pairs.append((PLANE_BITS * i,
+                      ds[i].astype(jnp.uint32) +
+                      (ds[i + 1].astype(jnp.uint32) << PLANE_BITS)))
+    if NPLANES % 2:
+        pairs.append((PLANE_BITS * (NPLANES - 1),
+                      ds[NPLANES - 1].astype(jnp.uint32)))
+    for bit, e in pairs:
+        j, r = divmod(bit, W)
+        elo, ehi = e & MASK, e >> W
+        c0 = (elo << r) & MASK
+        c1 = (((elo >> (W - r)) if r else jnp.zeros_like(e)) |
+              ((ehi << r) & MASK)) & MASK
+        c2 = (ehi >> (W - r)) if r else jnp.zeros_like(e)
+        t[j] = t[j] + c0
+        if j + 1 < NL:
+            t[j + 1] = t[j + 1] + c1
+        if j + 2 < NL:
+            t[j + 2] = t[j + 2] + c2
+
+    for _ in range(rounds):
+        t = _redc_step(t, shape)
+
+    # value now < 3p < 2^257: carry-normalize, then subtract p twice
+    c = jnp.zeros(shape, jnp.uint32)
+    out = []
+    for j in range(L):
+        v = t[j] + c
+        out.append(v & MASK)
+        c = v >> W
+    hi = c + t[L]                 # < 3p/2^256 -> 0 or 1 after carries
+    out, hi = _cond_sub_wide(out, hi, shape)
+    out, hi = _cond_sub_wide(out, hi, shape)
+    return out
+
+
+def _folded_band_digits(v_limbs, rounds):
+    """v[L, k, n] Montgomery limbs -> int8[k, n, NPLANES(d), NPLANES(s)]:
+    digit s of w_dk = v_kn * 2^(7d + 16*rounds) * R^{-1} mod p."""
+    from . import montgomery as mont
+    cs = np.stack([int_to_limbs(pow(2, PLANE_BITS * d + 16 * rounds, P))
+                   for d in range(NPLANES)], axis=-1)       # [L, NPLANES]
+    c = jnp.asarray(cs.astype(np.uint32)).reshape(L, 1, 1, NPLANES)
+    w = mont.mont_mul(v_limbs[..., None], c)                # [L, k, n, 37]
+    return _planes7(w)                                       # [k, n, d, s]
+
+
+def _fused2_kernel(a_ref, w_ref, o_ref, *, k, tn, kcols, rounds):
+    """a_ref [L+1, k, TB] uint32 (row L zeros); w_ref [NPLANES*tn, kcols]
+    int8 folded band; o_ref [L, tn, TB] canonical Montgomery limbs."""
+    TB = a_ref.shape[2]
+    blocks = []
+    for d in range(NPLANES):
+        j, r = divmod(PLANE_BITS * d, W)
+        v = a_ref[j] >> r
+        if r > W - PLANE_BITS:
+            v = v | (a_ref[j + 1] << (W - r))
+        blocks.append((v & jnp.uint32(0x7F)).astype(jnp.int8))
+    if kcols > k * NPLANES:
+        blocks.append(jnp.zeros((kcols - k * NPLANES, TB), jnp.int8))
+    planes = jnp.concatenate(blocks, axis=0)                # [kcols, TB]
+
+    d32 = jax.lax.dot_general(
+        w_ref[0], planes, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                   # [37*tn, TB]
+
+    ds = [d32[s * tn:(s + 1) * tn, :] for s in range(NPLANES)]
+    out = _fold_reduce(ds, (tn, TB), rounds)
+    o_ref[...] = jnp.stack(out, axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused2_call(k: int, n: int, bpadded: int, rounds: int):
+    TB = 128
+    TN = min(n, 128)
+    npad = -n % TN
+    ntiles = (n + npad) // TN
+    kcols = -(-(k * NPLANES) // 32) * 32
+    nb = bpadded // TB
+    kern = functools.partial(_fused2_kernel, k=k, tn=TN, kcols=kcols,
+                             rounds=rounds)
+    return pl.pallas_call(
+        kern,
+        grid=(nb, ntiles),
+        in_specs=[
+            pl.BlockSpec((L + 1, k, TB), lambda i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPLANES * TN, kcols), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, TN, TB), lambda i, j: (0, j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, n + npad, bpadded), jnp.uint32),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bpadded * kcols * NPLANES * (n + npad),
+            bytes_accessed=4 * L * (bpadded * (k + n)) + kcols * NPLANES * n,
+            transcendentals=0),
+    ), TN, npad
+
+
+def fused2_fits(k: int, n: int) -> bool:
+    """Folded band tile + int32 dot output + a-block must fit VMEM with
+    double buffering. Same n >= 4 Mosaic floor as the v1 kernel."""
+    if n < 4 or NPLANES * k * 127 * 127 >= 2 ** 31:
+        return False
+    TN = min(n, 128)
+    kcols = -(-(k * NPLANES) // 32) * 32
+    band = NPLANES * TN * kcols
+    d32 = NPLANES * TN * 128 * 4
+    ablk = (L + 1) * k * 128 * 4
+    return band + d32 + ablk < 6 * 2 ** 20
+
+
+def fp_matmul_mxu2(a_limbs, v_limbs):
+    """a[L, B, k] @ v[L, k, n] (both Montgomery) -> [L, B, n] via the
+    folded-constant int8 MXU kernel. Bit-exact vs the scan/v1 paths
+    (tests/test_pallas_field.py)."""
+    Lx, B, k = a_limbs.shape
+    n = v_limbs.shape[2]
+    rounds = _rounds_for(k)
+    wd = _folded_band_digits(v_limbs, rounds)      # [k, n, d, s]
+    call, TN, npad = _fused2_call(k, n, B + (-B % 128), rounds)
+    kcols = -(-(k * NPLANES) // 32) * 32
+    if npad:
+        wd = jnp.concatenate(
+            [wd, jnp.zeros((k, npad, NPLANES, NPLANES), jnp.int8)], axis=1)
+    ntiles = (n + npad) // TN
+    # W[tile, s*TN + nn, d*k + kk] = wd[kk, tile*TN + nn, d, s]
+    w = wd.reshape(k, ntiles, TN, NPLANES, NPLANES)
+    w = w.transpose(1, 4, 2, 3, 0).reshape(ntiles, NPLANES * TN, NPLANES * k)
+    if kcols > k * NPLANES:
+        w = jnp.concatenate(
+            [w, jnp.zeros((ntiles, NPLANES * TN, kcols - k * NPLANES),
+                          jnp.int8)], axis=2)
+
+    bpad = -B % 128
+    at = jnp.swapaxes(a_limbs, 1, 2)               # [L, k, B]
+    at = jnp.concatenate(
+        [at, jnp.zeros((1, k, B), jnp.uint32)], 0)  # zero high-limb row
+    if bpad:
+        at = jnp.concatenate(
+            [at, jnp.zeros((L + 1, k, bpad), jnp.uint32)], 2)
+    out = call(at, w)                              # [L, n+npad, B+bpad]
+    return jnp.swapaxes(out[:, :n, :B], 1, 2)
+
+
+# ---------------------------------------------------------------------------
 # Unfused fallback: XLA dot + standalone epilogue
 # ---------------------------------------------------------------------------
 

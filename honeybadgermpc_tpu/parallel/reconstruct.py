@@ -156,8 +156,30 @@ def robust_open_single(backend, share: FpArray, n: int, t: int,
 def _sim_reconstruct_jit(n: int, t: int, use_omega_powers: bool, robust: bool):
     """Cached jitted whole-open kernel for the SimBackend path. Essential:
     an eager call re-traces the lax.cond fallback branch every time, which
-    costs more than the decode itself."""
+    costs more than the decode itself.
+
+    On TPU the open runs as the fully-fused three-kernel pipeline
+    (ops/fused_open.py: encode -> R1 decode+validate -> R2 decode+validate
+    with BlockSpec-indexed collectives); the generic collective program
+    below serves CPU tests and the fused path's robust fallback."""
     backend = SimBackend(n)
+    import os as _os
+
+    # the fused kernels tile dst parties in sublane groups of 8
+    use_fused = (jax.default_backend() not in ("cpu",)
+                 and n % 8 == 0
+                 and not _os.environ.get("HBMPC_NO_FUSED_OPEN"))
+
+    if use_fused:
+        enc = Encoding(n, use_omega_powers=use_omega_powers)
+        points = tuple(int(x) % mont.P for x in enc.points)
+
+        @jax.jit
+        def run_fused(limbs):
+            from ..ops.fused_open import sim_open_fused
+            return sim_open_fused(limbs, n, t, points, robust=robust)
+
+        return run_fused
 
     @jax.jit
     def run(limbs):

@@ -45,3 +45,53 @@ def test_fp_matmul_pallas_parity(rng):
     for bb in range(B):
         for cc in range(n):
             assert int(got_ints[bb][cc]) == want[bb, cc]
+
+
+def _rand_mont_mat(rng, rows, cols):
+    return jnp.asarray(ints_to_limbs(np.asarray(
+        [_mont_ints(rng, cols) for _ in range(rows)], dtype=object)))
+
+
+def _matmul_oracle(a, v):
+    ai = limbs_to_ints(np.asarray(a))
+    vi = limbs_to_ints(np.asarray(v))
+    B, k = ai.shape
+    n = vi.shape[1]
+    rinv = pow(R_MOD_P, P - 2, P)
+    want = np.zeros((B, n), dtype=object)
+    for bb in range(B):
+        for cc in range(n):
+            acc = 0
+            for j in range(k):
+                acc += (int(ai[bb][j]) * rinv % P) * \
+                       (int(vi[j][cc]) * rinv % P)
+            want[bb, cc] = acc % P * R_MOD_P % P
+    return want
+
+
+@pytest.mark.parametrize("B,k,n", [
+    (256, 5, 7),     # rounds=1, odd n
+    (256, 22, 64),   # rounds=1 boundary region (bench shape, tiny B)
+    (130, 31, 8),    # rounds=2, unaligned B
+])
+def test_fp_matmul_mxu2_parity(rng, B, k, n):
+    from honeybadgermpc_tpu.ops.mxu_matmul import fp_matmul_mxu2
+    a = _rand_mont_mat(rng, B, k)
+    v = _rand_mont_mat(rng, k, n)
+    got = limbs_to_ints(np.asarray(fp_matmul_mxu2(a, v)))
+    want = _matmul_oracle(a, v)
+    for bb in range(B):
+        for cc in range(n):
+            assert int(got[bb][cc]) == want[bb, cc], (bb, cc)
+
+
+def test_fp_matmul_mxu_v1_parity(rng):
+    from honeybadgermpc_tpu.ops.mxu_matmul import fp_matmul_mxu
+    B, k, n = 256, 9, 12
+    a = _rand_mont_mat(rng, B, k)
+    v = _rand_mont_mat(rng, k, n)
+    got = limbs_to_ints(np.asarray(fp_matmul_mxu(a, v)))
+    want = _matmul_oracle(a, v)
+    for bb in range(B):
+        for cc in range(n):
+            assert int(got[bb][cc]) == want[bb, cc], (bb, cc)
