@@ -9,6 +9,8 @@
   jubjub             shared point add / double-and-add mul
   refinement         hyperinvertible encode n in {4,10,16,50,100}
   preprocessing      dealer generation (n,t,k) grids
+  rbc                reliable broadcast, t x msg size {200 B, 10 kB}
+  hbavss             HBAVSS light deal+receive, t grid
 
 Run:  python benchmark/run_benchmarks.py [names...]
 Each result prints one JSON line {"bench": ..., "params": ..., "value":
@@ -186,6 +188,66 @@ def bench_preprocessing():
               k / dt, "triples/s")
 
 
+def bench_rbc():
+    """RBC throughput (reference benchmark/test_benchmark_rbc.py:10-39:
+    t grid x msg size {200 B, 10 kB}; here the low-t corner that runs
+    fast on one host)."""
+    import asyncio
+
+    from honeybadgermpc_tpu.protocols.reliablebroadcast import \
+        reliablebroadcast
+    from honeybadgermpc_tpu.protocols.router import SimpleRouter
+
+    for t in (1, 2):
+        n = 3 * t + 1
+        for size in (200, 10_000):
+            msg = b"x" * size
+
+            async def run():
+                router = SimpleRouter(n)
+                jobs = [reliablebroadcast(
+                    "rbc", i, n, t, 0, msg if i == 0 else None,
+                    router.recvs[i], router.sends[i]) for i in range(n)]
+                return await asyncio.gather(*jobs)
+
+            t0 = time.perf_counter()
+            outs = asyncio.run(run())
+            dt = time.perf_counter() - t0
+            assert all(o == msg for o in outs)
+            _emit("rbc", {"t": t, "n": n, "msg_bytes": size},
+                  size / dt, "bytes/s")
+
+
+def bench_hbavss():
+    """HBAVSS light deal+receive (reference benchmark/test_benchmark_hbavss.py)."""
+    import asyncio
+
+    from honeybadgermpc_tpu.protocols.hbavss import (HbAvssLight,
+                                                     get_avss_params)
+    from honeybadgermpc_tpu.protocols.router import SimpleRouter
+
+    for t in (1, 2):
+        n = 3 * t + 1
+        g, h, pks, sks = get_avss_params(n, t)
+
+        async def run():
+            router = SimpleRouter(n)
+            instances = [HbAvssLight(pks, sks[i], g, h, n, t, i,
+                                     router.sends[i], router.recvs[i])
+                         for i in range(n)]
+            vals = await asyncio.gather(
+                *[instances[i].avss(0, 42 if i == 0 else None, dealer_id=0)
+                  for i in range(n)])
+            for inst in instances:
+                inst.kill()
+            return vals
+
+        t0 = time.perf_counter()
+        asyncio.run(run())
+        dt = time.perf_counter() - t0
+        _emit("hbavss_light_deal", {"t": t, "n": n}, 1 / dt, "avss/s")
+
+
 ALL = {
     "batch_opening": bench_batch_opening,
     "poly_interpolate": bench_poly_interpolate,
@@ -195,6 +257,8 @@ ALL = {
     "jubjub": bench_jubjub,
     "refinement": bench_refinement,
     "preprocessing": bench_preprocessing,
+    "rbc": bench_rbc,
+    "hbavss": bench_hbavss,
 }
 
 if __name__ == "__main__":

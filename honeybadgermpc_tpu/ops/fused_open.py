@@ -42,16 +42,77 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .limbs import L, P, R_MOD_P, W
-from .mxu_matmul import (NPLANES, PLANE_BITS, _fold_reduce, _interpret,
-                         _rounds_for)
+from .limbs import L, P, W
+from .mxu_matmul import _interpret
 
 TB = 128            # chunk (lane) tile
 JT = 8              # dst parties per K2/K3 grid step (sublane multiple)
+PL = 8              # packed limb rows: two 16-bit limbs per uint32
+
+# This chip class is HBM-bound on the open (the three kernels' compute
+# overlaps a ~400-700 MB traffic budget), so every inter-kernel tensor and
+# the final secrets are stored PACKED — limb 2j in the low half of word j,
+# limb 2j+1 in the high half. Byte/digit extraction reads packed words
+# directly; packing costs 8 ORs at the end of the epilogue.
 
 
 def _round8(x: int) -> int:
     return -(-x // 8) * 8
+
+
+# ---------------------------------------------------------------------------
+# Balanced base-256 digit scheme (k <= 32)
+#
+# Both operands decompose into 32 SIGNED digits in [-128, 127] (any value
+# < p fits: p's top byte is 0x73, so the balanced carry never spills into a
+# 33rd digit). vs the unsigned 7-bit scheme this cuts the plane count from
+# 37 to 32 on BOTH matmul axes (0.73x the MACs). Signedness is handled
+# without any in-kernel branching:
+#   * each int32 diagonal (|diag| <= 32k*128^2 < 2^24 for k <= 32) gets a
+#     +2^24 bias so the carry-save fold stays unsigned;
+#   * the fold's accumulator is INITIALIZED with the 16-bit limbs of
+#     I = M*p - sum_r 2^24 * 256^r  (M chosen so every reachable value
+#     stays nonnegative), which cancels the bias mod p;
+#   * two REDC rounds bring the result under 2p — a single conditional
+#     subtract finishes.
+# ---------------------------------------------------------------------------
+
+NBAL = 32
+_BAL_BIAS = 1 << 24
+_BAL_ROUNDS = 2
+
+
+def _bal_digits(x: int):
+    """Balanced base-256 digits of 0 <= x < p (32 signed digits)."""
+    out = []
+    c = 0
+    for _ in range(NBAL):
+        u = (x & 0xFF) + c
+        x >>= 8
+        if u >= 128:
+            out.append(u - 256)
+            c = 1
+        else:
+            out.append(u)
+            c = 0
+    assert x == 0 and c == 0
+    return out
+
+
+def _bal_fold_init(k: int):
+    """16-bit limbs of I = M*p - B0 (see scheme comment); M covers both the
+    per-diagonal bias sum B0 and the most negative reachable value."""
+    b0 = sum(_BAL_BIAS * (1 << (8 * r)) for r in range(NBAL))
+    vmin = NBAL * k * 128 * (P - 1)          # |V| upper bound
+    m = -(-b0 // P) + -(-vmin // P)
+    i_val = m * P - b0
+    assert i_val >= 0
+    limbs = []
+    for _ in range(19):
+        limbs.append(i_val & 0xFFFF)
+        i_val >>= 16
+    assert i_val == 0
+    return tuple(limbs)
 
 
 # ---------------------------------------------------------------------------
@@ -61,27 +122,28 @@ def _round8(x: int) -> int:
 
 def _folded_band_host(mat_int, rounds: int, ncp: int) -> np.ndarray:
     """mat_int: [k][ncols] plain-int matrix. Returns int8 band
-    W[NPLANES*ncp, NPLANES*k] (ncp >= ncols, extra columns zero) with
+    W[NBAL*ncp, NBAL*k] (ncp >= ncols, extra columns zero) with
 
-      W[s*ncp + col, d*k + kk] = digit7_s(m[kk][col] * 2^(7d + 16*rounds)
-                                          mod p)
+      W[r*ncp + col, s*k + kk] = baldigit_r(m[kk][col] * 256^s
+                                            * 2^(16*rounds) mod p)
 
-    so that dotted against base-2^7 planes of Montgomery-form data a_mont
-    the diagonals represent sum_k a_mont_k * m_k * 2^(16*rounds) — after
-    `rounds` 16-bit REDC steps the result is (sum a_k m_k) in Montgomery
-    form (the plain-int constant folds the R^{-1}/R pair away)."""
+    so that dotted against balanced base-256 planes of Montgomery-form
+    data a_mont the diagonals represent sum_k a_mont_k * m_k *
+    2^(16*rounds) — after `rounds` 16-bit REDC steps the result is
+    (sum a_k m_k) in Montgomery form (the plain-int constant folds the
+    R^{-1}/R pair away)."""
     k = len(mat_int)
     ncols = len(mat_int[0])
     assert ncp >= ncols
-    band = np.zeros((NPLANES * ncp, NPLANES * k), np.int8)
+    band = np.zeros((NBAL * ncp, NBAL * k), np.int8)
     for kk in range(k):
         for col in range(ncols):
-            for d in range(NPLANES):
+            for s in range(NBAL):
                 w = mat_int[kk][col] * pow(
-                    2, PLANE_BITS * d + 16 * rounds, P) % P
-                for s in range(NPLANES):
-                    band[s * ncp + col, d * k + kk] = \
-                        (w >> (PLANE_BITS * s)) & 0x7F
+                    2, 8 * s + 16 * rounds, P) % P
+                dig = _bal_digits(w)
+                for r in range(NBAL):
+                    band[r * ncp + col, s * k + kk] = dig[r]
     return band
 
 
@@ -111,8 +173,9 @@ def _bands_np(points: tuple, k: int):
     from .fpmatmul import _lagrange_int_rows
     n = len(points)
     nv = n - k
-    rounds = _rounds_for(k)
-    kcols = -(-(k * NPLANES) // 32) * 32
+    assert k <= NBAL, (k, "balanced scheme requires k <= 32")
+    rounds = _BAL_ROUNDS
+    kcols = -(-(k * NBAL) // 32) * 32
 
     # K1: encode matrix E[k][n]: E[i][j] = points[j]^i
     enc_mat = [[pow(int(points[j]), i, P) for j in range(n)]
@@ -143,199 +206,345 @@ def _bands_np(points: tuple, k: int):
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _planes_of(rows, k, kcols):
-    """int8 [kcols, TB] base-2^7 planes of a canonical Montgomery limb
-    block; `rows` maps limb index j -> uint32 [k, TB]."""
+def _balance_bytes(us, k, kcols):
+    """us: NBAL byte arrays (int32, [k, TBC]) -> int8 [kcols, TBC] balanced
+    planes via the sequential carry chain: d_s = byte_s + c, minus 256
+    when >= 128."""
     blocks = []
-    for d in range(NPLANES):
-        j, r = divmod(PLANE_BITS * d, W)
-        v = rows(j) >> r
-        if r + PLANE_BITS > W and j + 1 < L:
-            v = v | (rows(j + 1) << (W - r))
-        blocks.append((v & jnp.uint32(0x7F)).astype(jnp.int8))
-    if kcols > k * NPLANES:
-        blocks.append(jnp.zeros((kcols - k * NPLANES, blocks[0].shape[-1]),
+    c = None
+    for s in range(NBAL):
+        t = us[s] if c is None else us[s] + c
+        ge = (t >= 128).astype(jnp.int32)
+        blocks.append((t - (ge << 8)).astype(jnp.int8))
+        c = ge
+    if kcols > k * NBAL:
+        blocks.append(jnp.zeros((kcols - k * NBAL,) + blocks[0].shape[1:],
                                 jnp.int8))
     return jnp.concatenate(blocks, axis=0)
 
 
-def _band_dot_fold(w_blk, planes, ncp, rounds):
-    """[NPLANES*ncp, kcols] @ [kcols, TB] -> L canonical limb arrays of
-    shape [ncp, TB]."""
+def _planes_of(rows, k, kcols):
+    """Balanced planes from UNPACKED limbs; `rows` maps limb index j ->
+    uint32 [k, TBC] (16-bit values)."""
+    us = [((rows(s // 2) >> (8 * (s % 2))) & jnp.uint32(0xFF)).astype(
+        jnp.int32) for s in range(NBAL)]
+    return _balance_bytes(us, k, kcols)
+
+
+def _planes_of_packed(rows, k, kcols):
+    """Balanced planes from PACKED words; `rows` maps word index w ->
+    uint32 [k, TBC] (full 32-bit, 4 bytes each)."""
+    us = [((rows(s // 4) >> (8 * (s % 4))) & jnp.uint32(0xFF)).astype(
+        jnp.int32) for s in range(NBAL)]
+    return _balance_bytes(us, k, kcols)
+
+
+def _pack16(limbs):
+    """L 16-bit limb arrays -> PL packed uint32 arrays (stacked axis 0)."""
+    return jnp.stack([limbs[2 * j] | (limbs[2 * j + 1] << 16)
+                      for j in range(PL)], axis=0)
+
+
+def _fold_reduce_bal(ds, shape, init_limbs):
+    """NBAL signed int32 diagonal arrays (8-bit spacing, |d| < 2^24) ->
+    L canonical Montgomery limb arrays. Per-diagonal +2^24 bias keeps the
+    carry-save fold unsigned; `init_limbs` (16-bit limbs of M*p - B0)
+    cancels the bias mod p and floors the value at >= 0. Two REDC rounds,
+    one conditional subtract (see the scheme comment above)."""
+    from .mxu_matmul import _P as _PL, _redc_step
+    NL = 19
+    t = [jnp.full(shape, jnp.uint32(init_limbs[j])) for j in range(NL)]
+    for r in range(NBAL):
+        d = (ds[r] + jnp.int32(_BAL_BIAS)).astype(jnp.uint32)  # < 2^25
+        j, off = divmod(8 * r, W)
+        if off == 0:                       # 16-bit aligned: 2 chunks
+            t[j] = t[j] + (d & jnp.uint32(0xFFFF))
+            t[j + 1] = t[j + 1] + (d >> 16)
+        else:                              # *2^8: 3 chunks
+            t[j] = t[j] + ((d << 8) & jnp.uint32(0xFFFF))
+            t[j + 1] = t[j + 1] + ((d >> 8) & jnp.uint32(0xFFFF))
+            if j + 2 < NL:
+                t[j + 2] = t[j + 2] + (d >> 24)
+    for _ in range(_BAL_ROUNDS):
+        t = _redc_step(t, shape)
+    # value < 2p: carry-normalize and subtract p at most once
+    c = jnp.zeros(shape, jnp.uint32)
+    out = []
+    for j in range(L):
+        v = t[j] + c
+        out.append(v & jnp.uint32(0xFFFF))
+        c = v >> 16
+    hi = c + t[L]
+    borrow = jnp.zeros(shape, jnp.uint32)
+    d2 = []
+    for j in range(L):
+        v = out[j] - jnp.uint32(_PL[j]) - borrow
+        d2.append(v & jnp.uint32(0xFFFF))
+        borrow = (v >> 16) & jnp.uint32(1)
+    take = (hi != 0) | (borrow == 0)
+    return [jnp.where(take, d2[j], out[j]) for j in range(L)]
+
+
+def _band_dot_fold(w_blk, planes, ncp, init_limbs):
+    """[NBAL*ncp, kcols] @ [kcols, TBC] -> L canonical limb arrays of
+    shape [ncp, TBC]."""
+    if _interpret():
+        # stock XLA:CPU miscompiles small s8xs8->s32 dots (naive-loop
+        # emitter adds i8 into i32 without a convert); widen on host
+        w_blk, planes = w_blk.astype(jnp.int32), planes.astype(jnp.int32)
     d32 = jax.lax.dot_general(w_blk, planes, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
-    ds = [d32[s * ncp:(s + 1) * ncp] for s in range(NPLANES)]
-    return _fold_reduce(ds, (ncp, TB), rounds)
+    ds = [d32[r * ncp:(r + 1) * ncp] for r in range(NBAL)]
+    return _fold_reduce_bal(ds, (ncp, planes.shape[-1]), init_limbs)
 
 
-def _k1_kernel(a_ref, w_ref, o_ref, *, k, n, ncp, kcols, rounds):
-    """a_ref (L, 1, k, TB): one party's chunk coefficients;
-    o_ref (L, 1, n, TB): its predicted columns at all n points."""
-    planes = _planes_of(lambda j: a_ref[j, 0], k, kcols)
-    out = _band_dot_fold(w_ref[0], planes, ncp, rounds)
-    o_ref[...] = jnp.stack(out, axis=0)[:, None, :n]
-
-
-def _mismatch(pred_rows, recv_rows):
-    """pred/recv: limb index j -> uint32 [nv, TB]. int32 [TB]: number of
-    validation points whose share differs in any limb."""
-    diff = jnp.zeros(pred_rows(0).shape, jnp.uint32)
-    for j in range(L):
-        diff = diff | (pred_rows(j) ^ recv_rows(j))
+def _mismatch(pred_words, recv_words):
+    """pred/recv: packed word index w -> uint32 [nv, TBC]. int32 [TBC]:
+    number of validation points whose share differs in any word."""
+    diff = jnp.zeros(pred_words(0).shape, jnp.uint32)
+    for w in range(PL):
+        diff = diff | (pred_words(w) ^ recv_words(w))
     return jnp.sum((diff != 0).astype(jnp.int32), axis=0)
 
 
+# ---------------------------------------------------------------------------
+# Kernels. DMA-contiguity-tiled layouts (each grid step reads/writes ONE
+# mostly-contiguous HBM region; the measured floor here is ~60 GB/s read /
+# ~116 GB/s r+w and fragmented blocks run at a third of that):
+#
+#   shares  [n, ncg, PL, k, NCT, TB]        K1 in block contiguous
+#   cols    [nc, njt, PL, n, jt, TB]        K2 in block (1,1,PL,n,jt,TB)
+#                                           contiguous 2 MB; K1 writes it
+#                                           in jt*TB (4 KB) fragments
+#   vals    [PL, n, cpad]                   K3 in: FULL-RESIDENT in VMEM
+#   secrets [nc, njt, PL, jt, k, TB]        K3 out block contiguous
+#
+# and lane-concatenation: K1 merges NCT chunk tiles and K2 merges the jt
+# dst parties into the matmul lane axis (one [M,kcols]@[kcols,~1k] MXU dot
+# per grid step instead of jt/NCT narrow N=128 dots), via the in-kernel
+# sublane->lane reshape (k, g, TB) -> (k, g*TB), which Mosaic supports
+# (unlike int8 lane-concat of misaligned slices).
+# ---------------------------------------------------------------------------
+
+
+def _k1_kernel(a_ref, w_ref, o_ref, *, k, n, ncp, kcols, init, jt, nct):
+    """a_ref (1, 1, PL, k, NCT, TB) PACKED: one party's chunk coefficients
+    for NCT lane-tiles; o_ref (NCT, njt, PL, 1, jt, TB) PACKED: its
+    predicted columns at all n points."""
+    njt = n // jt
+    planes = _planes_of_packed(
+        lambda w: a_ref[0, 0, w].reshape(k, nct * TB), k, kcols)
+    out = _band_dot_fold(w_ref[0], planes, ncp, init)
+    packed = _pack16(out)                            # [PL, ncp, NCT*TB]
+    for ct in range(nct):
+        sl = slice(ct * TB, (ct + 1) * TB)
+        for j in range(njt):
+            o_ref[ct, j, :, 0] = packed[:, j * jt:(j + 1) * jt, sl]
+
+
 def _k2_kernel(a_ref, w_ref, vals_ref, errs_ref, *, k, n, ncp, kcols,
-               rounds, jt):
-    """a_ref (L, n, jt, TB): received columns for jt dst parties (rows
-    0..k-1 feed the optimistic decode, k..n-1 validate);
-    vals_ref (L, jt, TB): psi_j(0); errs_ref (jt, TB): mismatch counts."""
+               init, jt):
+    """a_ref (1, 1, PL, n, jt, TB) PACKED: received columns for jt dst
+    parties (rows 0..k-1 feed the optimistic decode, k..n-1 validate);
+    one wide dot decodes all jt dsts. vals_ref (PL, jt, TB) PACKED:
+    psi_j(0); errs_ref (jt, TB)."""
     nv = n - k
+    planes = _planes_of_packed(
+        lambda w: a_ref[0, 0, w, :k].reshape(k, jt * TB), k, kcols)
+    out = _band_dot_fold(w_ref[0], planes, ncp, init)
+    packed = _pack16(out)                            # [PL, ncp, jt*TB]
     for jj in range(jt):
-        planes = _planes_of(lambda j, jj=jj: a_ref[j, :k, jj], k, kcols)
-        out = _band_dot_fold(w_ref[0], planes, ncp, rounds)
-        vals_ref[:, jj] = jnp.stack([out[j][nv] for j in range(L)], axis=0)
+        sl = slice(jj * TB, (jj + 1) * TB)
+        vals_ref[:, jj] = packed[:, nv, sl]
         errs_ref[jj] = _mismatch(
-            lambda j: out[j][:nv],
-            lambda j, jj=jj: a_ref[j, k:, jj])
+            lambda w, sl=sl: packed[w, :nv, sl],
+            lambda w, jj=jj: a_ref[0, 0, w, k:, jj])
 
 
 def _k3_kernel(a_ref, w_ref, sec_ref, errs_ref, *, k, n, ncp, kcols,
-               rounds, jt):
-    """a_ref (L, n, TB): all parties' psi values for one chunk-tile (the
-    sim all_gather — identical input for every dst in the tile; each of
-    the jt dst parties still runs its own decode for simulation
-    fidelity); sec_ref (L, jt, k, TB); errs_ref (jt, TB)."""
+               init, jt):
+    """a_ref (PL, n, cpad) PACKED, full-resident: all parties' psi values
+    (the sim all_gather — identical input for every dst; each of the jt
+    dst parties still runs its own decode for simulation fidelity, as jt
+    lane-replicated copies in one wide dot); sec_ref (1, 1, PL, jt, k, TB)
+    PACKED; errs_ref (jt, TB)."""
     nv = n - k
+    ci = pl.program_id(0)
+    lane = pl.ds(ci * TB, TB)
+    p1 = _planes_of_packed(lambda w: a_ref[w, :k, lane], k, kcols)
+    planes = jnp.broadcast_to(
+        p1[:, None, :], (kcols, jt, TB)).reshape(kcols, jt * TB)
+    out = _band_dot_fold(w_ref[0], planes, ncp, init)
+    packed = _pack16(out)                            # [PL, ncp, jt*TB]
     for jj in range(jt):
-        planes = _planes_of(lambda j: a_ref[j, :k], k, kcols)
-        out = _band_dot_fold(w_ref[0], planes, ncp, rounds)
-        sec_ref[:, jj] = jnp.stack([out[j][:k] for j in range(L)], axis=0)
+        sl = slice(jj * TB, (jj + 1) * TB)
+        sec_ref[0, 0, :, jj] = packed[:, :k, sl]
         errs_ref[jj] = _mismatch(
-            lambda j: out[j][k:k + nv], lambda j: a_ref[j, k:])
+            lambda w, sl=sl: packed[w, k:k + nv, sl],
+            lambda w: a_ref[w, k:, lane])
 
 
 # ---------------------------------------------------------------------------
-# Pipeline
+# pallas_call plumbing
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
 def _open_calls(n: int, k: int, cpad: int, points: tuple):
-    (enc_b, n1), (r1_b, n2), (r2_b, n3), rounds, kcols = _bands_np(
+    (enc_b, n1), (r1_b, n2), (r2_b, n3), _rounds, kcols = _bands_np(
         points, k)
     nc = cpad // TB
-    nv = n - k
+    nct = 3 if nc % 3 == 0 else (2 if nc % 2 == 0 else 1)
+    ncg = nc // nct
+    init = _bal_fold_init(k)
+    jt = JT if n % JT == 0 else n
+    njt = n // jt
 
     k1 = pl.pallas_call(
         functools.partial(_k1_kernel, k=k, n=n, ncp=n1, kcols=kcols,
-                          rounds=rounds),
-        grid=(n, nc),
+                          init=init, jt=jt, nct=nct),
+        grid=(n, ncg),
         in_specs=[
-            pl.BlockSpec((L, 1, k, TB), lambda p, ci: (0, p, 0, ci),
+            pl.BlockSpec((1, 1, PL, k, nct, TB),
+                         lambda p, cg: (p, cg, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NPLANES * n1, kcols), lambda p, ci: (0, 0, 0),
+            pl.BlockSpec((1, NBAL * n1, kcols), lambda p, cg: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((L, 1, n, TB), lambda p, ci: (0, p, 0, ci),
+        out_specs=pl.BlockSpec((nct, njt, PL, 1, jt, TB),
+                               lambda p, cg: (cg, 0, 0, p, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, n, n, cpad), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((nc, njt, PL, n, jt, TB),
+                                       jnp.uint32),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * cpad * kcols * NPLANES * n1,
-            bytes_accessed=4 * L * (n * cpad * (k + n)),
+            flops=2 * n * cpad * kcols * NBAL * n1,
+            bytes_accessed=4 * n * cpad * PL * (k + n),
             transcendentals=0),
     )
 
-    jt = JT if n % JT == 0 else 1
-    njt = n // jt
     k2 = pl.pallas_call(
         functools.partial(_k2_kernel, k=k, n=n, ncp=n2, kcols=kcols,
-                          rounds=rounds, jt=jt),
+                          init=init, jt=jt),
         grid=(njt, nc),
         in_specs=[
-            pl.BlockSpec((L, n, jt, TB), lambda j, ci: (0, 0, j, ci),
+            pl.BlockSpec((1, 1, PL, n, jt, TB),
+                         lambda j, ci: (ci, j, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NPLANES * n2, kcols),
+            pl.BlockSpec((1, NBAL * n2, kcols),
                          lambda j, ci: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((L, jt, TB), lambda j, ci: (0, j, ci),
+            pl.BlockSpec((PL, jt, TB), lambda j, ci: (0, j, ci),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((jt, TB), lambda j, ci: (j, ci),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((L, n, cpad), jnp.uint32),
+            jax.ShapeDtypeStruct((PL, n, cpad), jnp.uint32),
             jax.ShapeDtypeStruct((n, cpad), jnp.int32),
         ],
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * cpad * kcols * NPLANES * n2,
-            bytes_accessed=4 * L * (n * cpad * n),
+            flops=2 * n * cpad * kcols * NBAL * n2,
+            bytes_accessed=4 * PL * (n * cpad * n),
             transcendentals=0),
     )
 
     k3 = pl.pallas_call(
         functools.partial(_k3_kernel, k=k, n=n, ncp=n3, kcols=kcols,
-                          rounds=rounds, jt=jt),
+                          init=init, jt=jt),
         grid=(nc, njt),
         in_specs=[
-            pl.BlockSpec((L, n, TB), lambda ci, j: (0, 0, ci),
+            pl.BlockSpec((PL, n, cpad), lambda ci, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NPLANES * n3, kcols), lambda ci, j: (0, 0, 0),
+            pl.BlockSpec((1, NBAL * n3, kcols), lambda ci, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((L, jt, k, TB), lambda ci, j: (0, j, 0, ci),
+            pl.BlockSpec((1, 1, PL, jt, k, TB),
+                         lambda ci, j: (ci, j, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((jt, TB), lambda ci, j: (j, ci),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((L, n, k, cpad), jnp.uint32),
+            jax.ShapeDtypeStruct((nc, njt, PL, jt, k, TB), jnp.uint32),
             jax.ShapeDtypeStruct((n, cpad), jnp.int32),
         ],
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * cpad * kcols * NPLANES * n3,
-            bytes_accessed=4 * L * (n * cpad * (1 + k)),
+            flops=2 * n * cpad * kcols * NBAL * n3,
+            bytes_accessed=4 * PL * (n * cpad * (1 + k)),
             transcendentals=0),
     )
 
-    enc_w = jnp.asarray(enc_b)
-    r1_w = jnp.asarray(r1_b)
-    r2_w = jnp.asarray(r2_b)
+    # keep these as host numpy: _open_calls is lru-cached across jit
+    # traces, and a jnp.asarray() materialized INSIDE one trace is a
+    # tracer — caching it leaks it into the next trace
+    enc_w = np.ascontiguousarray(enc_b)
+    r1_w = np.ascontiguousarray(r1_b)
+    r2_w = np.ascontiguousarray(r2_b)
 
-    def run(shares_kc):
-        """[L, n, k, cpad] -> (secrets [L, n, k, cpad], nerr [n] int32)."""
-        cols = k1(shares_kc, enc_w)
+    def tile_in(packed):
+        """packed [PL, n, k*cpad] -> [n, ncg, PL, k, NCT, TB]."""
+        v = packed.reshape(PL, n, k, ncg, nct, TB)
+        return v.transpose(1, 3, 0, 2, 4, 5)
+
+    def untile_out(sec):
+        """[nc, njt, PL, jt, k, TB] -> packed [PL, n, k*cpad]."""
+        v = sec.reshape(ncg, nct, njt, PL, jt, k, TB)
+        v = v.transpose(3, 2, 4, 5, 0, 1, 6)    # [PL,njt,jt,k,ncg,NCT,TB]
+        return v.reshape(PL, n, k * cpad)
+
+    def run(packed_kc):
+        """packed [PL, n, k*cpad] -> (secrets packed [PL, n, k*cpad],
+        nerr [n] int32)."""
+        sh6 = tile_in(packed_kc)
+        cols = k1(sh6, enc_w)
         vals, errs1 = k2(cols, r1_w)
-        secrets, errs2 = k3(vals, r2_w)
+        sec, errs2 = k3(vals, r2_w)
         nerr = jnp.sum(errs1, axis=-1) + jnp.sum(errs2, axis=-1)
-        return secrets, nerr
+        return untile_out(sec), nerr
 
     run.parts = (k1, k2, k3, enc_w, r1_w, r2_w)   # profiling hooks
     return run
 
 
-def sim_open_fused(shares_limbs, n: int, t: int, points: tuple,
-                   robust: bool = True):
-    """Optimistic fused open: shares [L, n, B] (B % (t+1) == 0) ->
-    (secrets [L, n, B], nerr [n]). Falls back to the generic robust path
-    (Gao) under lax.cond when any validation mismatch is seen."""
+def pack_limbs(limbs):
+    """[L, ...] 16-bit uint32 limbs -> [PL, ...] packed words (XLA op)."""
+    return jnp.stack([limbs[2 * j] | (limbs[2 * j + 1] << 16)
+                      for j in range(PL)], axis=0)
+
+
+def unpack_limbs(packed):
+    """[PL, ...] packed words -> [L, ...] 16-bit uint32 limbs (XLA op)."""
+    rows = []
+    for w in range(PL):
+        rows.append(packed[w] & jnp.uint32(0xFFFF))
+        rows.append(packed[w] >> 16)
+    return jnp.stack(rows, axis=0)
+
+
+def sim_open_fused_packed(packed, n: int, t: int, points: tuple,
+                          robust: bool = True):
+    """Optimistic fused open on PACKED shares [PL, n, B] (the dealer's
+    at-rest share format; B % (t+1) == 0) -> (secrets PACKED [PL, n, B],
+    nerr [n]). Falls back to the generic robust path (Gao) under lax.cond
+    when any validation mismatch is seen. Unpack with unpack_limbs()."""
     k = t + 1
-    B = shares_limbs.shape[-1]
+    B = packed.shape[-1]
     assert B % k == 0, (B, k)
     C = B // k
     cpad = -(-C // TB) * TB
-    view = shares_limbs.reshape(shares_limbs.shape[:-1] + (k, C))
+    view = packed.reshape(PL, n, k, C)
     if cpad != C:
         view = jnp.concatenate(
             [view, jnp.zeros(view.shape[:-1] + (cpad - C,), jnp.uint32)],
             axis=-1)
 
     run = _open_calls(n, k, cpad, tuple(int(x) % P for x in points))
-    secrets, nerr = run(view)
+    secrets, nerr = run(view.reshape(PL, n, k * cpad))
+    secrets = secrets.reshape(PL, n, k, cpad)
 
     if robust:
         total = jnp.sum(nerr)
@@ -350,8 +559,9 @@ def sim_open_fused(shares_limbs, n: int, t: int, points: tuple,
             from ..parallel.reconstruct import batch_reconstruct
             from .fparray import FpArray
             sec2, nerr2 = batch_reconstruct(
-                SimBackend(n), FpArray(shares_limbs), n, t, robust=True)
-            s2 = sec2.limbs.reshape(sec2.limbs.shape[:-1] + (k, C))
+                SimBackend(n), FpArray(unpack_limbs(packed)), n, t,
+                robust=True)
+            s2 = pack_limbs(sec2.limbs).reshape((PL,) + (n, k, C))
             if cpad != C:
                 s2 = jnp.concatenate(
                     [s2, jnp.zeros(s2.shape[:-1] + (cpad - C,),
@@ -362,3 +572,11 @@ def sim_open_fused(shares_limbs, n: int, t: int, points: tuple,
 
     flat = secrets[..., :C].reshape(secrets.shape[:2] + (B,))
     return flat, nerr
+
+
+def sim_open_fused(shares_limbs, n: int, t: int, points: tuple,
+                   robust: bool = True):
+    """Optimistic fused open: shares [L, n, B] (B % (t+1) == 0) ->
+    (secrets PACKED [PL, n, B], nerr [n]). See sim_open_fused_packed."""
+    return sim_open_fused_packed(pack_limbs(shares_limbs), n, t, points,
+                                 robust=robust)

@@ -153,6 +153,23 @@ def robust_open_single(backend, share: FpArray, n: int, t: int,
 
 
 @lru_cache(maxsize=None)
+def _sim_reconstruct_packed_jit(n: int, t: int, use_omega_powers: bool,
+                                robust: bool):
+    """Fused open over PACKED shares [PL, n, B] (the dealer's at-rest
+    format) -> (secrets PACKED [PL, n, B], nerr). TPU fused path only —
+    callers holding unpacked limbs use _sim_reconstruct_jit."""
+    enc = Encoding(n, use_omega_powers=use_omega_powers)
+    points = tuple(int(x) % mont.P for x in enc.points)
+
+    @jax.jit
+    def run_packed(packed):
+        from ..ops.fused_open import sim_open_fused_packed
+        return sim_open_fused_packed(packed, n, t, points, robust=robust)
+
+    return run_packed
+
+
+@lru_cache(maxsize=None)
 def _sim_reconstruct_jit(n: int, t: int, use_omega_powers: bool, robust: bool):
     """Cached jitted whole-open kernel for the SimBackend path. Essential:
     an eager call re-traces the lax.cond fallback branch every time, which
@@ -165,9 +182,10 @@ def _sim_reconstruct_jit(n: int, t: int, use_omega_powers: bool, robust: bool):
     backend = SimBackend(n)
     import os as _os
 
-    # the fused kernels tile dst parties in sublane groups of 8
+    # the fused kernels tile dst parties in sublane groups of 8 and use
+    # the balanced base-256 digit scheme (k = t+1 <= 32)
     use_fused = (jax.default_backend() not in ("cpu",)
-                 and n % 8 == 0
+                 and n % 8 == 0 and t + 1 <= 32
                  and not _os.environ.get("HBMPC_NO_FUSED_OPEN"))
 
     if use_fused:
@@ -176,9 +194,11 @@ def _sim_reconstruct_jit(n: int, t: int, use_omega_powers: bool, robust: bool):
 
         @jax.jit
         def run_fused(limbs):
+            # returns secrets PACKED [PL, n, B] (fused_open storage form)
             from ..ops.fused_open import sim_open_fused
             return sim_open_fused(limbs, n, t, points, robust=robust)
 
+        run_fused.packed = True
         return run_fused
 
     @jax.jit
@@ -193,7 +213,11 @@ def _sim_reconstruct_jit(n: int, t: int, use_omega_powers: bool, robust: bool):
 def sim_batch_reconstruct(shares: FpArray, n: int, t: int,
                           use_omega_powers: bool = False, robust: bool = True):
     """Jitted SimBackend batch open (shares [n, ..., B])."""
-    limbs, nerr = _sim_reconstruct_jit(n, t, use_omega_powers, robust)(shares.limbs)
+    run = _sim_reconstruct_jit(n, t, use_omega_powers, robust)
+    limbs, nerr = run(shares.limbs)
+    if getattr(run, "packed", False):
+        from ..ops.fused_open import unpack_limbs
+        limbs = jax.jit(unpack_limbs)(limbs)
     return FpArray(limbs), nerr
 
 

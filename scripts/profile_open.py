@@ -3,7 +3,11 @@
 Usage: python scripts/profile_open.py   (runs on the default backend / TPU)
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
