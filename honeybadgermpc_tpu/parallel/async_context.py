@@ -79,6 +79,8 @@ class AsyncMpc:
         self._open_buffers = defaultdict(lambda: defaultdict(dict))
         self._recv_task = None
         self._signal = asyncio.Event()
+        from ..utils.telemetry import BenchmarkLogger
+        self.bench_logger = BenchmarkLogger(my_id)
 
     def ShareArray(self, v: FpArray, t=None) -> AsyncShareArray:
         return AsyncShareArray(self, v, t)
@@ -136,16 +138,23 @@ class AsyncMpc:
                 [v, FpArray.zeros((pad,))], axis=v.ndim - 1)
         C = v.shape[-1] // k
         shareid = self._get_share_id()
+        from ..utils.telemetry import phase
         coeffs = v.reshape(C, k)
-        cols = self.enc.encode(coeffs)                   # [C, n]
-        for j in range(self.n):
-            self.send(j, (shareid, "R1",
-                          np.asarray(cols.limbs[..., j])))
-        psi = await self._gather_and_decode(shareid, "R1", d + 1, C)
+        # phase stamps mirror the reference's benchmark_logger brackets
+        # (batch_reconstruction.py:119-121,170,188,199,217)
+        with phase(self.bench_logger, "open.encode_send",
+                   shareid=shareid, batch=B):
+            cols = self.enc.encode(coeffs)               # [C, n]
+            for j in range(self.n):
+                self.send(j, (shareid, "R1",
+                              np.asarray(cols.limbs[..., j])))
+        with phase(self.bench_logger, "open.r1_decode", shareid=shareid):
+            psi = await self._gather_and_decode(shareid, "R1", d + 1, C)
         vals = FpArray(psi.limbs[..., 0])                # [C]
-        for j in range(self.n):
-            self.send(j, (shareid, "R2", np.asarray(vals.limbs)))
-        sec = await self._gather_and_decode(shareid, "R2", k, C)
+        with phase(self.bench_logger, "open.r2", shareid=shareid):
+            for j in range(self.n):
+                self.send(j, (shareid, "R2", np.asarray(vals.limbs)))
+            sec = await self._gather_and_decode(shareid, "R2", k, C)
         out = sec.reshape(C * k)
         return FpArray(out.limbs[..., :B])
 

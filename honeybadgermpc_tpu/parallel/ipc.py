@@ -30,7 +30,8 @@ class NodeCommunicator:
         self.peers_config = peers_config
         self.my_id = my_id
         self.n = len(peers_config)
-        self.bytes_sent = 0
+        from ..utils.telemetry import ByteCounter
+        self.byte_counter = ByteCounter()       # per-link accounting
         self._receiver_queue = asyncio.Queue()
         self._send_queues = {}
         self._tasks = []
@@ -86,14 +87,20 @@ class NodeCommunicator:
             self._receiver_queue.put_nowait((self.my_id, obj))
             return
         raw = pickle.dumps(obj)
-        self.bytes_sent += len(raw)
+        self.byte_counter.add(dest, len(raw))
         self._send_queues[dest].put_nowait(raw)
+
+    @property
+    def bytes_sent(self) -> int:
+        return self.byte_counter.total_bytes
 
     async def recv(self):
         return await self._receiver_queue.get()
 
     async def close(self):
         logging.info("[%d] bytes sent: %d", self.my_id, self.bytes_sent)
+        logging.info("[%d] per-link: %s", self.my_id,
+                     self.byte_counter.summary()["per_dest"])
         for t in self._tasks:
             t.cancel()
         for d in self._dealers.values():
