@@ -188,6 +188,32 @@ def bench_preprocessing():
               k / dt, "triples/s")
 
 
+def bench_triple_generation():
+    """RanDouSha-based Beaver triple generation rate (the reference's
+    second performance determinant, docs/performance.rst; protocol from
+    offline_randousha.py:154-191), full n-party simulation on one chip."""
+    import jax
+
+    from honeybadgermpc_tpu.parallel.mesh import SimBackend
+    from honeybadgermpc_tpu.runtime.offline import generate_triples
+
+    for n, t, k in [(16, 5, 512), (64, 21, 512)]:
+        backend = SimBackend(n)
+        f = jax.jit(lambda key, n=n, t=t, k=k:
+                    generate_triples(backend, n, t, k, key))
+        out = f(jax.random.PRNGKey(0))
+        assert bool(jax.device_get(out[3]))
+        _block(out[0].limbs)
+        iters = 5
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = f(jax.random.PRNGKey(i))
+        _block(out[0].limbs)
+        dt = (time.perf_counter() - t0) / iters
+        m = out[0].shape[-1]
+        _emit("triple_generation", {"n": n, "t": t}, m / dt, "triples/s")
+
+
 def bench_rbc():
     """RBC throughput (reference benchmark/test_benchmark_rbc.py:10-39:
     t grid x msg size {200 B, 10 kB}; here the low-t corner that runs
@@ -259,6 +285,7 @@ ALL = {
     "preprocessing": bench_preprocessing,
     "rbc": bench_rbc,
     "hbavss": bench_hbavss,
+    "triple_generation": bench_triple_generation,
 }
 
 if __name__ == "__main__":

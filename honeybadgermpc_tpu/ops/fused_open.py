@@ -61,25 +61,34 @@ def _round8(x: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Balanced base-256 digit scheme (k <= 32)
+# Balanced base-256 digit scheme (k <= 64)
 #
 # Both operands decompose into 32 SIGNED digits in [-128, 127] (any value
 # < p fits: p's top byte is 0x73, so the balanced carry never spills into a
 # 33rd digit). vs the unsigned 7-bit scheme this cuts the plane count from
 # 37 to 32 on BOTH matmul axes (0.73x the MACs). Signedness is handled
 # without any in-kernel branching:
-#   * each int32 diagonal (|diag| <= 32k*128^2 < 2^24 for k <= 32) gets a
-#     +2^24 bias so the carry-save fold stays unsigned;
+#   * each int32 diagonal (|diag| <= NBAL*k*128^2, < 2^26 for k <= 64)
+#     gets a +bias(k) offset so the carry-save fold stays unsigned;
 #   * the fold's accumulator is INITIALIZED with the 16-bit limbs of
-#     I = M*p - sum_r 2^24 * 256^r  (M chosen so every reachable value
+#     I = M*p - sum_r bias * 256^r  (M chosen so every reachable value
 #     stays nonnegative), which cancels the bias mod p;
 #   * two REDC rounds bring the result under 2p — a single conditional
-#     subtract finishes.
+#     subtract finishes. (Headroom check: |V| <= sum_r bias*256^r ~ 2^275
+#     even at k=64, and the 2-round REDC needs total < p*2^32 ~ 2^287.)
+#
+# k here is the matmul contraction length (points per decode / coeffs per
+# encode); k <= 64 covers degree-2t openings at n = 64 (k = 2t+1 = 43).
 # ---------------------------------------------------------------------------
 
 NBAL = 32
-_BAL_BIAS = 1 << 24
 _BAL_ROUNDS = 2
+KMAX = 64
+
+
+def _bal_bias(k: int) -> int:
+    """Max |diagonal|: NBAL*k products of balanced digits (|.| <= 2^14)."""
+    return NBAL * k * (1 << 14)
 
 
 def _bal_digits(x: int):
@@ -101,10 +110,10 @@ def _bal_digits(x: int):
 
 def _bal_fold_init(k: int):
     """16-bit limbs of I = M*p - B0 (see scheme comment); M covers both the
-    per-diagonal bias sum B0 and the most negative reachable value."""
-    b0 = sum(_BAL_BIAS * (1 << (8 * r)) for r in range(NBAL))
-    vmin = NBAL * k * 128 * (P - 1)          # |V| upper bound
-    m = -(-b0 // P) + -(-vmin // P)
+    per-diagonal bias sum B0 and the most negative reachable value
+    (|V| <= B0 by construction of bias(k))."""
+    b0 = sum(_bal_bias(k) * (1 << (8 * r)) for r in range(NBAL))
+    m = 2 * -(-b0 // P)
     i_val = m * P - b0
     assert i_val >= 0
     limbs = []
@@ -173,7 +182,7 @@ def _bands_np(points: tuple, k: int):
     from .fpmatmul import _lagrange_int_rows
     n = len(points)
     nv = n - k
-    assert k <= NBAL, (k, "balanced scheme requires k <= 32")
+    assert k <= KMAX, (k, "balanced scheme requires k <= 64")
     rounds = _BAL_ROUNDS
     kcols = -(-(k * NBAL) // 32) * 32
 
@@ -245,8 +254,8 @@ def _pack16(limbs):
                       for j in range(PL)], axis=0)
 
 
-def _fold_reduce_bal(ds, shape, init_limbs):
-    """NBAL signed int32 diagonal arrays (8-bit spacing, |d| < 2^24) ->
+def _fold_reduce_bal(ds, shape, init_limbs, bias):
+    """NBAL signed int32 diagonal arrays (8-bit spacing, |d| <= bias) ->
     L canonical Montgomery limb arrays. Per-diagonal +2^24 bias keeps the
     carry-save fold unsigned; `init_limbs` (16-bit limbs of M*p - B0)
     cancels the bias mod p and floors the value at >= 0. Two REDC rounds,
@@ -255,7 +264,7 @@ def _fold_reduce_bal(ds, shape, init_limbs):
     NL = 19
     t = [jnp.full(shape, jnp.uint32(init_limbs[j])) for j in range(NL)]
     for r in range(NBAL):
-        d = (ds[r] + jnp.int32(_BAL_BIAS)).astype(jnp.uint32)  # < 2^25
+        d = (ds[r] + jnp.int32(bias)).astype(jnp.uint32)   # < 2*bias <= 2^26
         j, off = divmod(8 * r, W)
         if off == 0:                       # 16-bit aligned: 2 chunks
             t[j] = t[j] + (d & jnp.uint32(0xFFFF))
@@ -285,7 +294,7 @@ def _fold_reduce_bal(ds, shape, init_limbs):
     return [jnp.where(take, d2[j], out[j]) for j in range(L)]
 
 
-def _band_dot_fold(w_blk, planes, ncp, init_limbs):
+def _band_dot_fold(w_blk, planes, ncp, init_limbs, bias):
     """[NBAL*ncp, kcols] @ [kcols, TBC] -> L canonical limb arrays of
     shape [ncp, TBC]."""
     if _interpret():
@@ -295,7 +304,7 @@ def _band_dot_fold(w_blk, planes, ncp, init_limbs):
     d32 = jax.lax.dot_general(w_blk, planes, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     ds = [d32[r * ncp:(r + 1) * ncp] for r in range(NBAL)]
-    return _fold_reduce_bal(ds, (ncp, planes.shape[-1]), init_limbs)
+    return _fold_reduce_bal(ds, (ncp, planes.shape[-1]), init_limbs, bias)
 
 
 def _mismatch(pred_words, recv_words):
@@ -327,14 +336,14 @@ def _mismatch(pred_words, recv_words):
 # ---------------------------------------------------------------------------
 
 
-def _k1_kernel(a_ref, w_ref, o_ref, *, k, n, ncp, kcols, init, jt, nct):
+def _k1_kernel(a_ref, w_ref, o_ref, *, k, n, ncp, kcols, init, bias, jt, nct):
     """a_ref (1, 1, PL, k, NCT, TB) PACKED: one party's chunk coefficients
     for NCT lane-tiles; o_ref (NCT, njt, PL, 1, jt, TB) PACKED: its
     predicted columns at all n points."""
     njt = n // jt
     planes = _planes_of_packed(
         lambda w: a_ref[0, 0, w].reshape(k, nct * TB), k, kcols)
-    out = _band_dot_fold(w_ref[0], planes, ncp, init)
+    out = _band_dot_fold(w_ref[0], planes, ncp, init, bias)
     packed = _pack16(out)                            # [PL, ncp, NCT*TB]
     for ct in range(nct):
         sl = slice(ct * TB, (ct + 1) * TB)
@@ -343,7 +352,7 @@ def _k1_kernel(a_ref, w_ref, o_ref, *, k, n, ncp, kcols, init, jt, nct):
 
 
 def _k2_kernel(a_ref, w_ref, vals_ref, errs_ref, *, k, n, ncp, kcols,
-               init, jt):
+               init, bias, jt):
     """a_ref (1, 1, PL, n, jt, TB) PACKED: received columns for jt dst
     parties (rows 0..k-1 feed the optimistic decode, k..n-1 validate);
     one wide dot decodes all jt dsts. vals_ref (PL, jt, TB) PACKED:
@@ -351,7 +360,7 @@ def _k2_kernel(a_ref, w_ref, vals_ref, errs_ref, *, k, n, ncp, kcols,
     nv = n - k
     planes = _planes_of_packed(
         lambda w: a_ref[0, 0, w, :k].reshape(k, jt * TB), k, kcols)
-    out = _band_dot_fold(w_ref[0], planes, ncp, init)
+    out = _band_dot_fold(w_ref[0], planes, ncp, init, bias)
     packed = _pack16(out)                            # [PL, ncp, jt*TB]
     for jj in range(jt):
         sl = slice(jj * TB, (jj + 1) * TB)
@@ -362,7 +371,8 @@ def _k2_kernel(a_ref, w_ref, vals_ref, errs_ref, *, k, n, ncp, kcols,
 
 
 def _k3_kernel(a_ref, w_ref, sec_ref, errs_ref, *, k, n, ncp, kcols,
-               init, jt):
+               init, bias, jt):
+    # errs_ref is (1, 8, TB) — rows jt..7 are padding when jt < 8
     """a_ref (PL, n, cpad) PACKED, full-resident: all parties' psi values
     (the sim all_gather — identical input for every dst; each of the jt
     dst parties still runs its own decode for simulation fidelity, as jt
@@ -374,14 +384,16 @@ def _k3_kernel(a_ref, w_ref, sec_ref, errs_ref, *, k, n, ncp, kcols,
     p1 = _planes_of_packed(lambda w: a_ref[w, :k, lane], k, kcols)
     planes = jnp.broadcast_to(
         p1[:, None, :], (kcols, jt, TB)).reshape(kcols, jt * TB)
-    out = _band_dot_fold(w_ref[0], planes, ncp, init)
+    out = _band_dot_fold(w_ref[0], planes, ncp, init, bias)
     packed = _pack16(out)                            # [PL, ncp, jt*TB]
     for jj in range(jt):
         sl = slice(jj * TB, (jj + 1) * TB)
         sec_ref[0, 0, :, jj] = packed[:, :k, sl]
-        errs_ref[jj] = _mismatch(
+        errs_ref[0, jj] = _mismatch(
             lambda w, sl=sl: packed[w, k:k + nv, sl],
             lambda w: a_ref[w, k:, lane])
+    for jj in range(jt, 8):
+        errs_ref[0, jj] = jnp.zeros((TB,), jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -396,12 +408,17 @@ def _open_calls(n: int, k: int, cpad: int, points: tuple):
     nct = 3 if nc % 3 == 0 else (2 if nc % 2 == 0 else 1)
     ncg = nc // nct
     init = _bal_fold_init(k)
+    bias = _bal_bias(k)
     jt = JT if n % JT == 0 else n
     njt = n // jt
+    # K3's dot intermediate is [NBAL*n3, jt*TB] i32; at k > 32 halve the
+    # dst group so it stays inside VMEM
+    jt3 = jt if (k <= 32 or jt <= 4) else jt // 2
+    njt3 = n // jt3
 
     k1 = pl.pallas_call(
         functools.partial(_k1_kernel, k=k, n=n, ncp=n1, kcols=kcols,
-                          init=init, jt=jt, nct=nct),
+                          init=init, bias=bias, jt=jt, nct=nct),
         grid=(n, ncg),
         in_specs=[
             pl.BlockSpec((1, 1, PL, k, nct, TB),
@@ -424,7 +441,7 @@ def _open_calls(n: int, k: int, cpad: int, points: tuple):
 
     k2 = pl.pallas_call(
         functools.partial(_k2_kernel, k=k, n=n, ncp=n2, kcols=kcols,
-                          init=init, jt=jt),
+                          init=init, bias=bias, jt=jt),
         grid=(njt, nc),
         in_specs=[
             pl.BlockSpec((1, 1, PL, n, jt, TB),
@@ -452,8 +469,8 @@ def _open_calls(n: int, k: int, cpad: int, points: tuple):
 
     k3 = pl.pallas_call(
         functools.partial(_k3_kernel, k=k, n=n, ncp=n3, kcols=kcols,
-                          init=init, jt=jt),
-        grid=(nc, njt),
+                          init=init, bias=bias, jt=jt3),
+        grid=(nc, njt3),
         in_specs=[
             pl.BlockSpec((PL, n, cpad), lambda ci, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -461,15 +478,15 @@ def _open_calls(n: int, k: int, cpad: int, points: tuple):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, PL, jt, k, TB),
+            pl.BlockSpec((1, 1, PL, jt3, k, TB),
                          lambda ci, j: (ci, j, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((jt, TB), lambda ci, j: (j, ci),
+            pl.BlockSpec((1, 8, TB), lambda ci, j: (j, 0, ci),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nc, njt, PL, jt, k, TB), jnp.uint32),
-            jax.ShapeDtypeStruct((n, cpad), jnp.int32),
+            jax.ShapeDtypeStruct((nc, njt3, PL, jt3, k, TB), jnp.uint32),
+            jax.ShapeDtypeStruct((njt3, 8, cpad), jnp.int32),
         ],
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
@@ -491,9 +508,9 @@ def _open_calls(n: int, k: int, cpad: int, points: tuple):
         return v.transpose(1, 3, 0, 2, 4, 5)
 
     def untile_out(sec):
-        """[nc, njt, PL, jt, k, TB] -> packed [PL, n, k*cpad]."""
-        v = sec.reshape(ncg, nct, njt, PL, jt, k, TB)
-        v = v.transpose(3, 2, 4, 5, 0, 1, 6)    # [PL,njt,jt,k,ncg,NCT,TB]
+        """[nc, njt3, PL, jt3, k, TB] -> packed [PL, n, k*cpad]."""
+        v = sec.reshape(ncg, nct, njt3, PL, jt3, k, TB)
+        v = v.transpose(3, 2, 4, 5, 0, 1, 6)   # [PL,njt3,jt3,k,ncg,NCT,TB]
         return v.reshape(PL, n, k * cpad)
 
     def run(packed_kc):
@@ -503,7 +520,9 @@ def _open_calls(n: int, k: int, cpad: int, points: tuple):
         cols = k1(sh6, enc_w)
         vals, errs1 = k2(cols, r1_w)
         sec, errs2 = k3(vals, r2_w)
-        nerr = jnp.sum(errs1, axis=-1) + jnp.sum(errs2, axis=-1)
+        # errs2 rows jt3..7 are padding; real parties are [:, :jt3]
+        e2 = jnp.sum(errs2[:, :jt3], axis=-1).reshape(n)
+        nerr = jnp.sum(errs1, axis=-1) + e2
         return untile_out(sec), nerr
 
     run.parts = (k1, k2, k3, enc_w, r1_w, r2_w)   # profiling hooks

@@ -55,7 +55,25 @@ def _open_columns(backend, cols: FpArray, n: int, degree: int):
     if pad:
         flat = FpArray.concatenate(
             [flat, FpArray.zeros(flat.shape[:-1] + (pad,))], axis=flat.ndim - 1)
-    vals, nerr = batch_reconstruct(backend, flat, n, degree, robust=True)
+
+    import os
+
+    import jax
+
+    from ..ops.fused_open import KMAX, sim_open_fused, unpack_limbs
+    use_fused = (isinstance(backend, SimBackend)
+                 and jax.default_backend() not in ("cpu",)
+                 and n % 8 == 0 and k <= KMAX
+                 and not os.environ.get("HBMPC_NO_FUSED_OPEN"))
+    if use_fused:
+        from ..ops import montgomery as mont
+        enc = Encoding(n)
+        points = tuple(int(x) % mont.P for x in enc.points)
+        packed, nerr = sim_open_fused(flat.limbs, n, degree, points,
+                                      robust=True)
+        vals = FpArray(unpack_limbs(packed))
+    else:
+        vals, nerr = batch_reconstruct(backend, flat, n, degree, robust=True)
     vals = FpArray(vals.limbs[..., :B])
     out_shape = shape[:1] + shape[1:] if isinstance(backend, SimBackend) else shape
     return vals.reshape(out_shape), nerr

@@ -48,9 +48,14 @@ if os.environ.get("PALLAS_AXON_POOL_IPS") and os.environ.get("HBMPC_TEST_REEXEC"
     import subprocess
 
     def run_group(targets):
+        # xdist workers are fresh processes: parallelizes the cold XLA
+        # compiles AND sidesteps this jaxlib's in-process compile slowdown
+        # (a long single-process run degrades several-fold)
+        xdist = [] if any(a.startswith("-n") for a in flags) else ["-n", "4"]
         for attempt in range(3):
             rc = subprocess.call(
-                [sys.executable, "-m", "pytest"] + flags + targets, env=env)
+                [sys.executable, "-m", "pytest"] + flags + xdist + targets,
+                env=env)
             if 0 <= rc < 128:
                 return rc
             sys.stderr.write(

@@ -45,6 +45,23 @@ def test_fused_open_faultfree(n, t):
         assert list(got[j]) == secrets
 
 
+def test_fused_open_wide_k():
+    """k > 32 (degree-2t openings) exercises the dynamic-bias balanced
+    scheme and K3's halved dst grouping (jt3=4, padded errs rows)."""
+    n, deg = 48, 35
+    rng = random.Random(900)
+    k = deg + 1
+    B = 2 * k
+    secrets, shares, points = _deal(rng, n, deg, B)
+    packed, nerr = jax.jit(
+        lambda l: sim_open_fused(l, n, deg, points, robust=False))(
+            shares.limbs)
+    assert np.asarray(nerr).tolist() == [0] * n
+    got = FpArray(unpack_limbs(packed)).to_ints()
+    for j in range(n):
+        assert list(got[j]) == secrets
+
+
 def test_fused_open_robust_fallback():
     n, t = 8, 2
     rng = random.Random(7)
