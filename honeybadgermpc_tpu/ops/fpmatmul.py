@@ -97,13 +97,38 @@ def fp_matmul(a: FpArray, m: FpArray) -> FpArray:
 
 
 @lru_cache(maxsize=None)
-def _vandermonde_np(xs: tuple, k: int):
+def _vandermonde_int_rows(xs: tuple, k: int):
+    """Plain-int V[k][n], V[i][j] = xs[j]^i."""
     rows = []
     acc = [1] * len(xs)
     for _ in range(k):
         rows.append(list(acc))
         acc = [a * x % P for a, x in zip(acc, xs)]
-    return _mont_np(rows)
+    return tuple(tuple(r) for r in rows)
+
+
+@lru_cache(maxsize=None)
+def _vandermonde_np(xs: tuple, k: int):
+    return _mont_np([list(r) for r in _vandermonde_int_rows(xs, k)])
+
+
+def _numel(shape):
+    out = 1
+    for d in shape:
+        out *= d
+    return out
+
+
+def _band_path_ok(k: int, m: int, batch: int) -> bool:
+    """Host-constant folded-band MXU path: big batches on TPU only."""
+    import os
+
+    import jax
+
+    from .band_matmul import band_fits
+    return (jax.default_backend() not in ("cpu",) and batch >= 1024
+            and band_fits(k, m)
+            and not os.environ.get("HBMPC_NO_BAND_MATMUL"))
 
 
 def vandermonde_matrix(xs: tuple, k: int) -> FpArray:
@@ -211,15 +236,33 @@ def vandermonde_batch_evaluate(xs, coeffs: FpArray) -> FpArray:
     """Evaluate polynomials (coeffs[..., k], k = degree+1) at points xs.
     Matches hbmpc_ntl_helpers.pyx:199 vandermonde_batch_evaluate."""
     k = coeffs.shape[-1]
-    v = vandermonde_matrix(tuple(int(x) % P for x in xs), k)
+    xs_t = tuple(int(x) % P for x in xs)
+    batch = _numel(coeffs.shape[:-1])
+    if _band_path_ok(k, len(xs_t), batch):
+        from .band_matmul import band_matmul_limbs
+        flat = coeffs.limbs.reshape(coeffs.limbs.shape[0], batch, k)
+        out = band_matmul_limbs(flat, _vandermonde_int_rows(xs_t, k))
+        return FpArray(out.reshape(
+            out.shape[:1] + coeffs.shape[:-1] + (len(xs_t),)))
+    v = vandermonde_matrix(xs_t, k)
     return fp_matmul(coeffs, v)
 
 
 def vandermonde_batch_interpolate(xs, ys: FpArray) -> FpArray:
     """Coefficients (degree < len(xs)) through (xs[i], ys[..., i]).
     Matches hbmpc_ntl_helpers.pyx:139 vandermonde_batch_interpolate."""
-    w = lagrange_matrix(tuple(int(x) % P for x in xs))
-    assert ys.shape[-1] == w.shape[0]
+    xs_t = tuple(int(x) % P for x in xs)
+    k = len(xs_t)
+    assert ys.shape[-1] == k
+    batch = _numel(ys.shape[:-1])
+    if _band_path_ok(k, k, batch):
+        from .band_matmul import band_matmul_limbs
+        rows = tuple(tuple(r) for r in _lagrange_int_rows(xs_t))
+        flat = ys.limbs.reshape(ys.limbs.shape[0], batch, k)
+        out = band_matmul_limbs(flat, rows)
+        return FpArray(out.reshape(
+            out.shape[:1] + ys.shape[:-1] + (k,)))
+    w = lagrange_matrix(xs_t)
     return fp_matmul(ys, w)
 
 
