@@ -119,6 +119,11 @@ def fft_evaluate(coeffs: FpArray, omega: int, n: int, k: int | None = None) -> F
     return out
 
 
+def partial_fft(coeffs: FpArray, omega: int, n: int, k: int) -> FpArray:
+    """First k outputs of the n-point NTT (hbmpc_ntl_helpers.pyx:266)."""
+    return fft_evaluate(coeffs, omega, n, k=k)
+
+
 def fft_interpolate(ys: FpArray, omega: int) -> FpArray:
     """Coefficients through (omega^i, ys[..., i]) — hbmpc_ntl_helpers.pyx:318."""
     return intt(ys, omega)

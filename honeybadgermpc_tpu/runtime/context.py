@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.fparray import FpArray
 from ..ops.limbs import P
@@ -141,6 +142,79 @@ class ShareArray:
             [a.v for a in arrays], axis=axis + off), t)
 
 
+class Share:
+    """A single degree-t Shamir share (reference dataflow.py:50 Share):
+    scalar operator surface over a one-element ShareArray. Linear ops are
+    local; ``*``, ``/``, ``==``, ``<`` dispatch through the context mixins;
+    ``open()`` reveals the value (dataflow.py:65-171). The reference's
+    ShareFuture/GFElementFuture have no analog — the batched synchronous
+    runtime returns values directly (SURVEY §7 design stance)."""
+
+    __slots__ = ("_arr",)
+
+    def __init__(self, arr: ShareArray):
+        assert arr.shape == (1,), arr.shape
+        self._arr = arr
+
+    @property
+    def ctx(self):
+        return self._arr.ctx
+
+    @property
+    def t(self):
+        return self._arr.t
+
+    def _wrap(self, out):
+        return Share(out) if isinstance(out, ShareArray) else out
+
+    def _unlift(self, other):
+        return other._arr if isinstance(other, Share) else other
+
+    def __add__(self, other):
+        return self._wrap(self._arr + self._unlift(other))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return self._wrap(self._arr - self._unlift(other))
+
+    def __rsub__(self, other):
+        return self._wrap(self._unlift(other) - self._arr)
+
+    def __neg__(self):
+        return self._wrap(-self._arr)
+
+    def __mul__(self, other):
+        return self._wrap(self._arr * self._unlift(other))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        return self._wrap(self._arr / self._unlift(other))
+
+    def __eq__(self, other):
+        return self._wrap(self._arr == self._unlift(other))
+
+    def __lt__(self, other):
+        return self._wrap(self._arr < self._unlift(other))
+
+    __hash__ = None
+
+    def invert(self):
+        return self._wrap(self._arr.invert())
+
+    def square(self):
+        return self._wrap(self._arr.square())
+
+    def open(self) -> int:
+        """Open this single share: all parties learn the value
+        (dataflow.py:65-82 -> mpc.py open_share :101). All honest parties
+        agree, so return one int (sim: party 0's view)."""
+        vals = self._arr.open().to_ints()
+        flat = np.asarray(vals, dtype=object).reshape(-1)
+        return int(flat[0])
+
+
 # ----------------------------------------------------------------------------
 
 def beaver_multiply_arrays(ctx: "MpcContext", x: ShareArray, y: ShareArray):
@@ -239,6 +313,13 @@ class MpcContext:
     # -- construction ------------------------------------------------------
     def ShareArray(self, v: FpArray, t: int | None = None) -> ShareArray:
         return ShareArray(self, v, t)
+
+    def Share(self, v, t: int | None = None) -> Share:
+        """Scalar share (reference mpc.py:69-74 per-context Share type).
+        v: a one-element ShareArray, or a dealt [n, 1]/[1] FpArray."""
+        if isinstance(v, ShareArray):
+            return Share(v)
+        return Share(ShareArray(self, v, t))
 
     def from_preproc(self, fp: FpArray, t: int | None = None) -> ShareArray:
         """Wrap a dealt [n, k] share tensor (SimBackend) as a ShareArray."""

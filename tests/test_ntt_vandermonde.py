@@ -125,3 +125,21 @@ def test_host_poly_divmod(rng):
     q, r = divmod(a, b)
     assert q * b + r == a
     assert r.degree() < b.degree()
+
+
+def test_partial_fft_matches_full():
+    """partial_fft = first k outputs of the n-point NTT (pyx:266)."""
+    import jax
+
+    from honeybadgermpc_tpu.ops.fparray import FpArray
+    from honeybadgermpc_tpu.ops.limbs import P
+    from honeybadgermpc_tpu.ops.ntt import fft_evaluate, partial_fft
+    from honeybadgermpc_tpu.polynomial import get_omega_int
+
+    n, k, deg = 16, 5, 7
+    omega = get_omega_int(P, n, seed=0)
+    coeffs = FpArray.rand(jax.random.PRNGKey(0), (3, deg))
+    full = fft_evaluate(coeffs, omega, n).to_ints()
+    part = partial_fft(coeffs, omega, n, k).to_ints()
+    for b in range(3):
+        assert list(part[b]) == list(full[b][:k])

@@ -104,3 +104,23 @@ def test_mimc_batch_vs_plain(rng, ctx):
     got = enc.open()
     want = [mimc_plain(x, k) for x in xs]
     assert list(got.to_ints()[0]) == want
+
+
+def test_scalar_share_ops():
+    """Scalar Share surface (reference dataflow.py:50): linear ops local,
+    * via Beaver mixin, open returns the agreed value."""
+    from honeybadgermpc_tpu.ops.fparray import FpArray
+    from honeybadgermpc_tpu.ops.limbs import P
+    from honeybadgermpc_tpu.runtime.context import MpcContext
+    from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
+
+    n, t = 4, 1
+    pre = PreProcessedElements(n, t, seed=0)
+    pre.generate_triples(16)
+    pre.generate_rands(8)
+    ctx = MpcContext(n, t, preproc=pre)
+    x = ctx.Share(pre._share_values(FpArray.from_ints([5])))
+    y = ctx.Share(pre._share_values(FpArray.from_ints([7])))
+    assert (x * y + 3 - x).open() == (5 * 7 + 3 - 5) % P
+    assert (2 * x).open() == 10
+    assert (x / y * y).open() == 5
