@@ -143,3 +143,28 @@ def test_partial_fft_matches_full():
     part = partial_fft(coeffs, omega, n, k).to_ints()
     for b in range(3):
         assert list(part[b]) == list(full[b][:k])
+
+
+def test_band_matmul_interpret():
+    """Host-constant folded-band matmul (ops/band_matmul.py) bit-exact in
+    Pallas interpret mode — the TPU path behind big-batch Vandermonde
+    evaluate/interpolate."""
+    import random
+
+    import jax
+
+    from honeybadgermpc_tpu.ops.band_matmul import band_matmul_limbs
+    from honeybadgermpc_tpu.ops.fparray import FpArray
+    from honeybadgermpc_tpu.ops.limbs import P
+
+    rng = random.Random(77)
+    k, m, B = 6, 10, 130   # forces lane padding (B % 128 != 0)
+    mat = tuple(tuple(rng.randrange(P) for _ in range(m)) for _ in range(k))
+    a_int = [[rng.randrange(P) for _ in range(k)] for _ in range(B)]
+    a = FpArray.from_ints(a_int)
+    out = FpArray(jax.jit(
+        lambda l: band_matmul_limbs(l, mat))(a.limbs)).to_ints()
+    for b in (0, 63, B - 1):
+        for j in (0, m - 1):
+            want = sum(a_int[b][i] * mat[i][j] for i in range(k)) % P
+            assert int(out[b][j]) == want, (b, j)
