@@ -21,6 +21,25 @@ from __future__ import annotations
 
 import hashlib
 
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native():
+    """Lazy-load the C++ backend (native/bls12_381.cpp via ctypes); None
+    when unavailable. Pure Python remains the oracle and fallback."""
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        import os
+        if not os.environ.get("HBMPC_NO_NATIVE_BLS"):
+            try:
+                from . import pairing_native as nat
+                _NATIVE = nat if nat.LIB is not None else None
+            except Exception:
+                _NATIVE = None
+    return _NATIVE
+
 # Base field and curve constants
 Q = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
 R = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
@@ -365,6 +384,12 @@ class CurvePoint:
 
     def mul(self, k: int):
         k %= R
+        nat = _native()
+        if nat is not None and not self.is_infinity():
+            if self.F is Fq:
+                return nat.g1_mul(self, k)
+            if self.F is Fq2:
+                return nat.g2_mul(self, k)
         out = CurvePoint.infinity(self.b, self.F)
         base = self
         while k > 0:
@@ -567,5 +592,8 @@ def pairing(p_pt: CurvePoint, q_pt: CurvePoint) -> Fq12:
     Fq12.one()."""
     if p_pt.is_infinity() or q_pt.is_infinity():
         return Fq12.one()
+    nat = _native()
+    if nat is not None:
+        return nat.pairing(p_pt, q_pt)
     f = miller_loop(p_pt, untwist(q_pt))
     return _final_exponentiation(f)
