@@ -158,11 +158,10 @@ static void fq_pow(Fq &o, const Fq &a, const uint64_t *e, int nl) {
     o = result;
 }
 
-static void fq_inv(Fq &o, const Fq &a) {
-    // Fermat: a^(q-2)
+static void fq_inv_fermat(Fq &o, const Fq &a) {
+    // Fermat: a^(q-2) (kept as a reference / fallback)
     uint64_t e[6];
     memcpy(e, BLS_Q, sizeof e);
-    // subtract 2
     u128 borrow = 2;
     for (int i = 0; i < 6 && borrow; i++) {
         u128 d = (u128)e[i] - borrow;
@@ -170,6 +169,93 @@ static void fq_inv(Fq &o, const Fq &a) {
         borrow = (d >> 64) & 1;
     }
     fq_pow(o, a, e, 6);
+}
+
+// 384-bit helpers for the binary xgcd
+static inline bool w_is_zero(const uint64_t *a) {
+    uint64_t o = 0;
+    for (int i = 0; i < 6; i++) o |= a[i];
+    return o == 0;
+}
+
+static inline bool w_is_one(const uint64_t *a) {
+    uint64_t o = a[0] ^ 1;
+    for (int i = 1; i < 6; i++) o |= a[i];
+    return o == 0;
+}
+
+static inline int w_cmp(const uint64_t *a, const uint64_t *b) {
+    for (int i = 5; i >= 0; i--) {
+        if (a[i] < b[i]) return -1;
+        if (a[i] > b[i]) return 1;
+    }
+    return 0;
+}
+
+static inline void w_sub(uint64_t *o, const uint64_t *a, const uint64_t *b) {
+    u128 borrow = 0;
+    for (int i = 0; i < 6; i++) {
+        u128 d = (u128)a[i] - b[i] - borrow;
+        o[i] = (uint64_t)d;
+        borrow = (d >> 64) & 1;
+    }
+}
+
+static inline uint64_t w_add(uint64_t *o, const uint64_t *a,
+                             const uint64_t *b) {
+    u128 carry = 0;
+    for (int i = 0; i < 6; i++) {
+        u128 sum = (u128)a[i] + b[i] + carry;
+        o[i] = (uint64_t)sum;
+        carry = sum >> 64;
+    }
+    return (uint64_t)carry;
+}
+
+static inline void w_rshift1(uint64_t *a, uint64_t top) {
+    for (int i = 0; i < 5; i++)
+        a[i] = (a[i] >> 1) | (a[i + 1] << 63);
+    a[5] = (a[5] >> 1) | (top << 63);
+}
+
+static void fq_inv(Fq &o, const Fq &a) {
+    // binary extended gcd (HAC 14.61) on the Montgomery representative
+    // v = a*R: yields v^-1; two REDC-multiplies by R^2 re-center the
+    // result in Montgomery form. ~20x faster than the Fermat ladder.
+    if (fq_is_zero(a)) { o = a; return; }
+    uint64_t u[6], v[6], x1[6] = {1, 0, 0, 0, 0, 0}, x2[6] = {0};
+    memcpy(u, a.l, 48);
+    memcpy(v, BLS_Q, 48);
+    while (!w_is_one(u) && !w_is_one(v)) {
+        while (!(u[0] & 1)) {
+            uint64_t top = 0;
+            if (x1[0] & 1) top = w_add(x1, x1, BLS_Q);
+            w_rshift1(u, 0);
+            w_rshift1(x1, top);
+        }
+        while (!(v[0] & 1)) {
+            uint64_t top = 0;
+            if (x2[0] & 1) top = w_add(x2, x2, BLS_Q);
+            w_rshift1(v, 0);
+            w_rshift1(x2, top);
+        }
+        if (w_cmp(u, v) >= 0) {
+            w_sub(u, u, v);
+            if (w_cmp(x1, x2) < 0) w_add(x1, x1, BLS_Q);
+            w_sub(x1, x1, x2);
+        } else {
+            w_sub(v, v, u);
+            if (w_cmp(x2, x1) < 0) w_add(x2, x2, BLS_Q);
+            w_sub(x2, x2, x1);
+        }
+    }
+    Fq r;
+    memcpy(r.l, w_is_one(u) ? x1 : x2, 48);
+    if (fq_cmp_q(r) >= 0) fq_sub_q(r);
+    Fq r2;
+    memcpy(r2.l, BLS_R2, 48);
+    fq_mul(r, r, r2);      // v^-1 * R
+    fq_mul(o, r, r2);      // v^-1 * R^2 * R^-1 = a^-1 * R (Montgomery)
 }
 
 // ---------------------------------------------------------------------------
@@ -599,55 +685,72 @@ static void load_fq12_const(Fq12 &o, const uint64_t *limbs) {
     }
 }
 
-// line through t1 and q1 (tangent if equal) evaluated at (px, py); points
-// affine over Fq12
-static void line_eval(Fq12 &o, const Fq12 &tx, const Fq12 &ty,
-                      const Fq12 &qx, const Fq12 &qy, bool tangent,
-                      const Fq12 &px, const Fq12 &py) {
-    Fq12 lam, t, num, den;
-    if (tangent) {
-        fq12_sqr(num, tx);
-        fq12_add(t, num, num);
-        fq12_add(num, t, num);          // 3 x^2
-        fq12_add(den, ty, ty);
-        fq12_inv(den, den);
-        fq12_mul(lam, num, den);
-    } else {
-        if (fq12_eq(qx, tx)) {          // vertical
-            fq12_sub(o, px, tx);
-            return;
+// sparse multiply: f * (s0 + s3 t^3 + s5 t^5) — the only shape a Miller
+// line takes in this basis (see slot derivation in pairing_impl)
+static void fq12_mul_sparse035(Fq12 &o, const Fq12 &f, const Fq2 &s0,
+                               const Fq2 &s3, const Fq2 &s5) {
+    Fq2 acc[6];
+    for (int i = 0; i < 6; i++) acc[i] = fq2_zero();
+    Fq2 xi = fq2_xi();
+    const Fq2 *coef[3] = {&s0, &s3, &s5};
+    const int pos[3] = {0, 3, 5};
+    for (int ci = 0; ci < 3; ci++) {
+        if (fq2_is_zero(*coef[ci])) continue;
+        for (int j = 0; j < 6; j++) {
+            Fq2 t;
+            fq2_mul(t, f.c[j], *coef[ci]);
+            int k = pos[ci] + j;
+            if (k >= 6) {
+                fq2_mul(t, t, xi);
+                k -= 6;
+            }
+            fq2_add(acc[k], acc[k], t);
         }
-        fq12_sub(num, qy, ty);
-        fq12_sub(den, qx, tx);
-        fq12_inv(den, den);
-        fq12_mul(lam, num, den);
     }
-    Fq12 dx;
-    fq12_sub(dx, px, tx);
-    fq12_mul(t, lam, dx);
-    fq12_sub(o, py, ty);
-    fq12_sub(o, o, t);
+    for (int i = 0; i < 6; i++) o.c[i] = acc[i];
+}
+
+// g^x for unitary g (x = -|x| is the negative BLS parameter): power by
+// |x| then conjugate (frob^6 inverts unitary elements)
+static void fe_pow_x(Fq12 &o, const Fq12 &g) {
+    Fq12 r = fq12_one(), base = g;
+    uint64_t w = BLS_X_ABS;
+    while (w) {
+        if (w & 1) fq12_mul(r, r, base);
+        fq12_sqr(base, base);
+        w >>= 1;
+    }
+    fq12_frob(o, r, 6);
 }
 
 static void final_exponentiation(Fq12 &o, const Fq12 &f) {
-    Fq12 f1, f2, t, inv;
+    // easy part: f^((q^6-1)(q^2+1)) — unitary afterwards
+    Fq12 f1, f2, inv;
     fq12_frob(f1, f, 6);
     fq12_inv(inv, f);
-    fq12_mul(f1, f1, inv);              // f^(q^6 - 1)
+    fq12_mul(f1, f1, inv);
     fq12_frob(f2, f1, 2);
-    fq12_mul(f2, f2, f1);               // ^(q^2 + 1); unitary now
+    fq12_mul(f2, f2, f1);
 
-    // hard part via generated exponents l0..l3 (all positive for BLS12-381
-    // x < 0 chain in pairing.py:546-549 — signs baked at generation)
-    Fq12 a0, a1, a2, a3;
-    fq12_pow(a3, f2, FE_L3, 5);
-    if (FE_L3_NEG) fq12_frob(a3, a3, 6);
-    fq12_pow(a2, f2, FE_L2, 5);
-    if (FE_L2_NEG) fq12_frob(a2, a2, 6);
-    fq12_pow(a1, f2, FE_L1, 5);
-    if (FE_L1_NEG) fq12_frob(a1, a1, 6);
-    fq12_pow(a0, f2, FE_L0, 5);
-    if (FE_L0_NEG) fq12_frob(a0, a0, 6);
+    // hard part via the x-chain (pairing.py:546-561 lambda decomposition):
+    //   m  = f2^(x-1);  a3 = m^(x-1) = f2^l3;  a2 = a3^x = f2^l2
+    //   a1 = a2^x * a3^-1 = f2^l1;  a0 = a1^x * f2^3 = f2^l0
+    Fq12 m, t, a3, a2, a1, a0, c;
+    fe_pow_x(t, f2);
+    fq12_frob(c, f2, 6);
+    fq12_mul(m, t, c);
+    fe_pow_x(t, m);
+    fq12_frob(c, m, 6);
+    fq12_mul(a3, t, c);
+    fe_pow_x(a2, a3);
+    fe_pow_x(t, a2);
+    fq12_frob(c, a3, 6);
+    fq12_mul(a1, t, c);
+    fe_pow_x(t, a1);
+    Fq12 f2sq, f2cu;
+    fq12_sqr(f2sq, f2);
+    fq12_mul(f2cu, f2sq, f2);
+    fq12_mul(a0, t, f2cu);
 
     Fq12 r1, r2, r3;
     fq12_frob(r1, a1, 1);
@@ -660,66 +763,84 @@ static void final_exponentiation(Fq12 &o, const Fq12 &f) {
 
 static void pairing_impl(Fq12 &o, const Point<Fq> &P, const Point<Fq2> &Q) {
     if (pt_is_inf(P) || pt_is_inf(Q)) { o = fq12_one(); return; }
-    // untwist Q: (x', y') -> (x' w^-2, y' w^-3)
-    Fq2 qxa, qya;
+    // Slot-coefficient Miller loop. Untwisting maps (x', y') on E'(Fq2)
+    // to (x'/xi * t^4, y'/xi * t^3) in E(Fq12) (w^-2 = t^4/xi,
+    // w^-3 = t^3/xi). Writing T = (Tx t^4, Ty t^3) and P = (Px, Py) over
+    // Fq, the affine group law closes on the slot coefficients:
+    //   tangent: L = 3 Tx^2 / (2 Ty);  addition: L = (Qy-Ty)/((Qx-Tx) xi)
+    //   Nx = L^2 xi - (Tx + other_x);  Ny = L (Tx - Nx) xi - Ty
+    //   line(P) = Py + (L Tx xi - Ty) t^3 - (L Px) t^5   (slots {0,3,5})
+    // so the whole loop runs in Fq2 with one Fq2 inversion per step and a
+    // sparse Fq12 multiply into f.
+    Fq2 qxa, qya, xi = fq2_xi(), xi_inv;
     pt_affine(qxa, qya, Q);
-    Fq12 w2i, w3i, qx, qy, t;
-    load_fq12_const(w2i, W2_INV);
-    load_fq12_const(w3i, W3_INV);
-    fq12_from_fq2(t, qxa, 0);
-    fq12_mul(qx, t, w2i);
-    fq12_from_fq2(t, qya, 0);
-    fq12_mul(qy, t, w3i);
+    fq2_inv(xi_inv, xi);
+    Fq2 Qx, Qy, Tx, Ty;
+    fq2_mul(Qx, qxa, xi_inv);
+    fq2_mul(Qy, qya, xi_inv);
+    Tx = Qx;
+    Ty = Qy;
 
     Fq pxa, pya;
     pt_affine(pxa, pya, P);
-    Fq12 px = fq12_zero(), py = fq12_zero();
-    px.c[0].a = pxa;
-    py.c[0].a = pya;
+    Fq2 Px = {pxa, FQ_ZERO}, Py = {pya, FQ_ZERO};
 
-    // Miller loop over |x| bits (skip leading 1), T kept affine
-    Fq12 f = fq12_one(), tx = qx, ty = qy, l;
+    Fq12 f = fq12_one();
     int top = 63;
     while (!((BLS_X_ABS >> top) & 1)) top--;
     for (int i = top - 1; i >= 0; i--) {
         fq12_sqr(f, f);
-        line_eval(l, tx, ty, tx, ty, true, px, py);
-        fq12_mul(f, f, l);
-        // T = 2T (affine doubling)
-        {
-            Fq12 lam, num, den, nx, ny;
-            fq12_sqr(num, tx);
-            fq12_add(den, num, num);
-            fq12_add(num, den, num);    // wrong order guard: num = 3tx^2
-            fq12_add(den, ty, ty);
-            fq12_inv(den, den);
-            fq12_mul(lam, num, den);
-            fq12_sqr(nx, lam);
-            fq12_sub(nx, nx, tx);
-            fq12_sub(nx, nx, tx);
-            fq12_sub(ny, tx, nx);
-            fq12_mul(ny, lam, ny);
-            fq12_sub(ny, ny, ty);
-            tx = nx;
-            ty = ny;
-        }
+        // tangent step: L = 3Tx^2/(2Ty)
+        Fq2 L, num, den, t;
+        fq2_sqr(num, Tx);
+        fq2_add(t, num, num);
+        fq2_add(num, t, num);
+        fq2_add(den, Ty, Ty);
+        fq2_inv(den, den);
+        fq2_mul(L, num, den);
+        // line BEFORE moving T: slots (Py, L*Tx*xi - Ty, -L*Px)
+        Fq2 s3, s5;
+        fq2_mul(t, L, Tx);
+        fq2_mul(t, t, xi);
+        fq2_sub(s3, t, Ty);
+        fq2_mul(s5, L, Px);
+        fq2_neg(s5, s5);
+        fq12_mul_sparse035(f, f, Py, s3, s5);
+        // T = 2T
+        Fq2 L2, Nx, Ny;
+        fq2_sqr(L2, L);
+        fq2_mul(L2, L2, xi);
+        fq2_sub(Nx, L2, Tx);
+        fq2_sub(Nx, Nx, Tx);
+        fq2_sub(t, Tx, Nx);
+        fq2_mul(Ny, L, t);
+        fq2_mul(Ny, Ny, xi);
+        fq2_sub(Ny, Ny, Ty);
+        Tx = Nx;
+        Ty = Ny;
         if ((BLS_X_ABS >> i) & 1) {
-            line_eval(l, tx, ty, qx, qy, false, px, py);
-            fq12_mul(f, f, l);
-            // T = T + Q (affine addition)
-            Fq12 lam, num, den, nx, ny;
-            fq12_sub(num, qy, ty);
-            fq12_sub(den, qx, tx);
-            fq12_inv(den, den);
-            fq12_mul(lam, num, den);
-            fq12_sqr(nx, lam);
-            fq12_sub(nx, nx, tx);
-            fq12_sub(nx, nx, qx);
-            fq12_sub(ny, tx, nx);
-            fq12_mul(ny, lam, ny);
-            fq12_sub(ny, ny, ty);
-            tx = nx;
-            ty = ny;
+            // addition step: L = (Qy - Ty) / ((Qx - Tx) * xi)
+            fq2_sub(num, Qy, Ty);
+            fq2_sub(den, Qx, Tx);
+            fq2_mul(den, den, xi);
+            fq2_inv(den, den);
+            fq2_mul(L, num, den);
+            fq2_mul(t, L, Tx);
+            fq2_mul(t, t, xi);
+            fq2_sub(s3, t, Ty);
+            fq2_mul(s5, L, Px);
+            fq2_neg(s5, s5);
+            fq12_mul_sparse035(f, f, Py, s3, s5);
+            fq2_sqr(L2, L);
+            fq2_mul(L2, L2, xi);
+            fq2_sub(Nx, L2, Tx);
+            fq2_sub(Nx, Nx, Qx);
+            fq2_sub(t, Tx, Nx);
+            fq2_mul(Ny, L, t);
+            fq2_mul(Ny, Ny, xi);
+            fq2_sub(Ny, Ny, Ty);
+            Tx = Nx;
+            Ty = Ny;
         }
     }
     final_exponentiation(o, f);
