@@ -217,14 +217,23 @@ class GT:
         return GT(Fq12.one())
 
     def __mul__(self, o):
+        nat = pr._native()
+        if nat is not None:
+            return GT(nat.fq12_mul(self.val, o.val))
         return GT(self.val * o.val)
 
     def __truediv__(self, o):
+        nat = pr._native()
+        if nat is not None:
+            return GT(nat.fq12_mul(self.val, nat.fq12_inv(o.val)))
         return GT(self.val * o.val.inv())
 
     def __pow__(self, e):
         e = e.val if isinstance(e, ZR) else int(e)
         e %= R
+        nat = pr._native()
+        if nat is not None:
+            return GT(nat.fq12_pow(self.val, e))
         return GT(self.val.pow(e))
 
     def __eq__(self, o):
@@ -256,12 +265,18 @@ def lagrange_at_x(s: set, j: int, x: int) -> ZR:
 
 def interpolate_g1_at_x(coords, x: int, order=-1) -> G1:
     """Lagrange in the exponent: given [(idx, G1 point)] recover the group
-    element at x (reference betterpairing.py:800-811)."""
+    element at x (reference betterpairing.py:800-811). One native multiexp
+    when the C++ backend is available."""
     if order == -1:
         order = len(coords)
-    xs = [c[0] for c in coords[:order]]
-    s = set(xs)
+    coords = coords[:order]
+    s = {c[0] for c in coords}
+    lams = [int(lagrange_at_x(s, idx, x)) for idx, _ in coords]
+    from .crypto.pairing import _native
+    nat = _native()
+    if nat is not None:
+        return G1(nat.g1_multiexp([y.pt for _, y in coords], lams))
     out = G1.identity()
-    for idx, y in coords[:order]:
-        out = out * (y ** lagrange_at_x(s, idx, x))
+    for (idx, y), lam in zip(coords, lams):
+        out = out * (y ** ZR(lam))
     return out
