@@ -353,7 +353,7 @@ static void fq12_sub(Fq12 &o, const Fq12 &x, const Fq12 &y) {
     for (int i = 0; i < 6; i++) fq2_sub(o.c[i], x.c[i], y.c[i]);
 }
 
-static void fq12_mul(Fq12 &o, const Fq12 &x, const Fq12 &y) {
+static void fq12_mul_dense(Fq12 &o, const Fq12 &x, const Fq12 &y) {
     Fq2 prod[11];
     for (int i = 0; i < 11; i++) prod[i] = fq2_zero();
     for (int i = 0; i < 6; i++) {
@@ -374,7 +374,8 @@ static void fq12_mul(Fq12 &o, const Fq12 &x, const Fq12 &y) {
     for (int i = 0; i < 6; i++) o.c[i] = prod[i];
 }
 
-static inline void fq12_sqr(Fq12 &o, const Fq12 &x) { fq12_mul(o, x, x); }
+static void fq12_mul(Fq12 &o, const Fq12 &x, const Fq12 &y);
+static void fq12_sqr(Fq12 &o, const Fq12 &x);
 
 static bool fq12_eq(const Fq12 &x, const Fq12 &y) {
     for (int i = 0; i < 6; i++)
@@ -435,6 +436,67 @@ static void fq6_inv(Fq6 &o, const Fq6 &x) {
     fq2_mul(o.c[0], A, ni);
     fq2_mul(o.c[1], B, ni);
     fq2_mul(o.c[2], C, ni);
+}
+
+static void fq6_add(Fq6 &o, const Fq6 &x, const Fq6 &y) {
+    for (int i = 0; i < 3; i++) fq2_add(o.c[i], x.c[i], y.c[i]);
+}
+
+static void fq6_sub(Fq6 &o, const Fq6 &x, const Fq6 &y) {
+    for (int i = 0; i < 3; i++) fq2_sub(o.c[i], x.c[i], y.c[i]);
+}
+
+static void fq6_mul_s(Fq6 &o, const Fq6 &x) {
+    // multiply by s (s^3 = xi): (b0,b1,b2) -> (xi*b2, b0, b1)
+    Fq2 xi = fq2_xi(), t;
+    fq2_mul(t, x.c[2], xi);
+    o.c[2] = x.c[1];
+    o.c[1] = x.c[0];
+    o.c[0] = t;
+}
+
+static inline void fq12_split(Fq6 &A, Fq6 &B, const Fq12 &x) {
+    A.c[0] = x.c[0]; A.c[1] = x.c[2]; A.c[2] = x.c[4];
+    B.c[0] = x.c[1]; B.c[1] = x.c[3]; B.c[2] = x.c[5];
+}
+
+static inline void fq12_join(Fq12 &o, const Fq6 &A, const Fq6 &B) {
+    o.c[0] = A.c[0]; o.c[2] = A.c[1]; o.c[4] = A.c[2];
+    o.c[1] = B.c[0]; o.c[3] = B.c[1]; o.c[5] = B.c[2];
+}
+
+// Karatsuba over the quadratic split x = A + tB, t^2 = s:
+// (A+tB)(C+tD) = AC + s BD + t((A+B)(C+D) - AC - BD)  — 3 Fq6 muls
+static void fq12_mul(Fq12 &o, const Fq12 &x, const Fq12 &y) {
+    Fq6 A, B, C, D, AC, BD, S1, S2, M, T;
+    fq12_split(A, B, x);
+    fq12_split(C, D, y);
+    fq6_mul(AC, A, C);
+    fq6_mul(BD, B, D);
+    fq6_add(S1, A, B);
+    fq6_add(S2, C, D);
+    fq6_mul(M, S1, S2);
+    fq6_sub(M, M, AC);
+    fq6_sub(M, M, BD);
+    fq6_mul_s(T, BD);
+    fq6_add(T, AC, T);
+    fq12_join(o, T, M);
+}
+
+// complex squaring: (A+tB)^2 = (A+B)(A+sB) - AB - sAB + t 2AB — 2 Fq6 muls
+static void fq12_sqr(Fq12 &o, const Fq12 &x) {
+    Fq6 A, B, AB, sB, T1, T2, sAB, C0, C1;
+    fq12_split(A, B, x);
+    fq6_mul(AB, A, B);
+    fq6_mul_s(sB, B);
+    fq6_add(T1, A, B);
+    fq6_add(T2, A, sB);
+    fq6_mul(C0, T1, T2);
+    fq6_mul_s(sAB, AB);
+    fq6_sub(C0, C0, AB);
+    fq6_sub(C0, C0, sAB);
+    fq6_add(C1, AB, AB);
+    fq12_join(o, C0, C1);
 }
 
 static void fq12_inv(Fq12 &o, const Fq12 &x) {
