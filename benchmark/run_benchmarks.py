@@ -116,21 +116,24 @@ def bench_gao_decode():
 
 
 def bench_mimc():
-    from honeybadgermpc_tpu.models.mimc import mimc_mpc_batch
+    import jax
+
+    from honeybadgermpc_tpu.models.mimc import ROUND, mimc_mpc_batch_jit
     from honeybadgermpc_tpu.runtime.context import MpcContext
     from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
-    for batch in (10, 100):
+    for batch in (100, 1000):
         n, t = 4, 1
         pre = PreProcessedElements(n, t, seed=0)
-        pre.generate_cubes(161 * batch * 2 + 64)
+        pre.generate_cubes(ROUND * batch * 2)
+        pre.generate_rands(2 * batch)
         ctx = MpcContext(n, t, preproc=pre)
-        xs = ctx.from_preproc(pre.get_rands(batch)) \
-            if pre._pools.get("rands") else None
-        pre.generate_rands(batch)
+        xs = ctx.from_preproc(pre.get_rands(batch))
+        out = mimc_mpc_batch_jit(ctx, xs, 12345)      # compile
+        jax.device_get(out.v.limbs.ravel()[:1])
         xs = ctx.from_preproc(pre.get_rands(batch))
         t0 = time.perf_counter()
-        out = mimc_mpc_batch(ctx, xs, 12345)
-        _block(out.v.limbs)
+        out = mimc_mpc_batch_jit(ctx, xs, 12345)
+        jax.device_get(out.v.limbs.ravel()[:1])
         dt = time.perf_counter() - t0
         _emit("mimc_batch", {"batch": batch, "n": n, "t": t},
               batch / dt, "blocks/s")
@@ -177,13 +180,18 @@ def bench_refinement():
 
 
 def bench_preprocessing():
+    import jax
+
     from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
     for n, t, k in [(4, 1, 1024), (16, 5, 512), (50, 15, 256)]:
         pre = PreProcessedElements(n, t, seed=0)
-        t0 = time.perf_counter()
-        pre.generate_triples(k)
+        pre.generate_triples(k)                      # compile warmup
         _block(pre._pools["triples"].data.limbs)
-        dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(5):
+            pre.generate_triples(k)
+        jax.device_get(pre._pools["triples"].data.limbs.ravel()[:1])
+        dt = (time.perf_counter() - t0) / 5
         _emit("preprocessing_triples", {"n": n, "t": t, "k": k},
               k / dt, "triples/s")
 

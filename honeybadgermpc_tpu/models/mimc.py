@@ -49,6 +49,50 @@ def mimc_mpc_batch(ctx: MpcContext, xs: ShareArray, k) -> ShareArray:
     return inp + k
 
 
+def mimc_mpc_batch_jit(ctx: MpcContext, xs: ShareArray, k) -> ShareArray:
+    """mimc_mpc_batch with all 161 rounds inside ONE jitted lax.scan —
+    the cube-trick open (sim fused kernels) is traceable, so the whole
+    cipher is a single device program instead of 161 dispatches. Sim
+    backend only; bit-identical to mimc_mpc_batch."""
+    assert ctx.sim, "jitted scan path is for the SimBackend"
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(k, int):
+        k = FpArray.from_int(k)
+    B = xs.v.shape[-1]
+    cubes = [ctx.preproc.get_cubes(B) for _ in range(ROUND)]
+    r_l = jnp.stack([c[0].limbs for c in cubes])       # [ROUND, L, n, B]
+    r2_l = jnp.stack([c[1].limbs for c in cubes])
+    r3_l = jnp.stack([c[2].limbs for c in cubes])
+    ctr_l = FpArray.from_ints(list(range(ROUND))).limbs  # [L, ROUND]
+    n, t = ctx.n, ctx.t
+    robust, omega = ctx.robust, ctx.use_omega_powers
+
+    @jax.jit
+    def run(x_l, k_l, r_l, r2_l, r3_l, ctr_l):
+        from ..parallel.reconstruct import sim_batch_reconstruct
+        three = FpArray.from_int(3)
+
+        def body(inp_l, per_round):
+            rl, r2l, r3l, cl = per_round
+            inp = FpArray(inp_l)
+            r, r2, r3 = FpArray(rl), FpArray(r2l), FpArray(r3l)
+            x = inp + FpArray(k_l) + FpArray(cl[..., None])
+            e, _nerr = sim_batch_reconstruct(x - r, n, t, omega, robust)
+            e2 = e * e
+            e3 = e2 * e
+            v = (e * three) * r2 + (e2 * three) * r + e3 + r3
+            return v.limbs, 0
+
+        out_l, _ = jax.lax.scan(
+            body, x_l, (r_l, r2_l, r3_l, jnp.moveaxis(ctr_l, -1, 0)))
+        return (FpArray(out_l) + FpArray(k_l)).limbs
+
+    return ctx.ShareArray(
+        FpArray(run(xs.v.limbs, k.limbs, r_l, r2_l, r3_l, ctr_l)), xs.t)
+
+
 def mimc_encrypt_ctr(ctx: MpcContext, key_share: ShareArray, nonce: int,
                      blocks: ShareArray) -> ShareArray:
     """MiMC-CTR symmetric encryption over a SHARED key (reference

@@ -27,28 +27,111 @@ from ..ops.limbs import P
 from ..ops.rs import Encoding
 
 
+from functools import lru_cache
+
+
+def _share_pure(enc: Encoding, degree: int, values: FpArray, key) -> FpArray:
+    """values[B] -> shares[n, B] (pure; traceable)."""
+    B = values.shape[-1]
+    hi = FpArray.rand(key, (B, degree))
+    coeffs = FpArray.concatenate([values.reshape(B, 1), hi], axis=1)
+    return enc.encode(coeffs).transpose((1, 0))
+
+
+@lru_cache(maxsize=None)
+def _dealer_jit(n: int, t: int, k: int, kind: str, omega: bool):
+    """One jitted device program per (params, kind): the whole dealer
+    generation (random draws + products + share encodes) runs as a single
+    dispatch instead of an eager op chain."""
+    enc = Encoding(n, use_omega_powers=omega)
+
+    def run(key):
+        ks = jax.random.split(key, 4)
+        if kind == "triples":
+            a = FpArray.rand(ks[0], (k,))
+            b = FpArray.rand(ks[1], (k,))
+            ab = a * b
+            return FpArray.stack(
+                [_share_pure(enc, t, a, ks[2]),
+                 _share_pure(enc, t, b, ks[3]),
+                 _share_pure(enc, t, ab,
+                             jax.random.fold_in(key, 7))], axis=2).limbs
+        if kind == "cubes":
+            r = FpArray.rand(ks[0], (k,))
+            r2 = r * r
+            r3 = r2 * r
+            return FpArray.stack(
+                [_share_pure(enc, t, r, ks[1]),
+                 _share_pure(enc, t, r2, ks[2]),
+                 _share_pure(enc, t, r3, ks[3])], axis=2).limbs
+        if kind == "rands":
+            r = FpArray.rand(ks[0], (k,))
+            return _share_pure(enc, t, r, ks[1]).reshape(n, k, 1).limbs
+        if kind == "double_shares":
+            r = FpArray.rand(ks[0], (k,))
+            return FpArray.stack(
+                [_share_pure(enc, t, r, ks[1]),
+                 _share_pure(enc, 2 * t, r, ks[2])], axis=2).limbs
+        raise ValueError(kind)
+
+    return jax.jit(run)
+
+
 class _Pool:
-    """A consumable pool of dealt share tensors, each [n, capacity, ...]."""
+    """A consumable pool of dealt share tensors, each [n, capacity, ...].
+
+    Stored as a LIST of segments: concatenating into one growing tensor
+    would change the array shape on every put, forcing a fresh XLA
+    compile per dealer call (multi-second on a remote-compile backend).
+    take() slices within a segment when possible; cross-segment takes
+    concatenate just the needed parts (shape = k, cached compile)."""
 
     def __init__(self):
-        self.data: FpArray | None = None
-        self.cursor = 0
+        self.segs: list[FpArray] = []
+        self.cursor = 0                    # offset into segs[0]
 
     def put(self, arr: FpArray):
-        if self.data is None:
-            self.data = arr
-        else:
-            self.data = FpArray.concatenate([self.data, arr], axis=1)
+        self.segs.append(arr)
 
     def take(self, k: int) -> FpArray:
-        assert self.data is not None and self.cursor + k <= self.data.shape[1], \
-            f"preprocessing pool exhausted (have {0 if self.data is None else self.data.shape[1]-self.cursor}, want {k})"
-        out = FpArray(self.data.limbs[:, :, self.cursor:self.cursor + k])
-        self.cursor += k
-        return out
+        assert self.remaining() >= k, \
+            f"preprocessing pool exhausted (have {self.remaining()}, want {k})"
+        parts = []
+        need = k
+        while need:
+            seg = self.segs[0]
+            avail = seg.shape[1] - self.cursor
+            use = min(avail, need)
+            parts.append(FpArray(
+                seg.limbs[:, :, self.cursor:self.cursor + use]))
+            need -= use
+            self.cursor += use
+            if self.cursor == seg.shape[1]:
+                self.segs.pop(0)
+                self.cursor = 0
+        if len(parts) == 1:
+            return parts[0]
+        return FpArray.concatenate(parts, axis=1)
+
+    @property
+    def data(self) -> FpArray | None:
+        """All remaining elements as one tensor (save()/inspection path)."""
+        if not self.segs:
+            return None
+        if self.cursor:
+            self.segs[0] = FpArray(self.segs[0].limbs[:, :, self.cursor:])
+            self.cursor = 0
+        if len(self.segs) > 1:
+            self.segs = [FpArray.concatenate(self.segs, axis=1)]
+        return self.segs[0]
+
+    @data.setter
+    def data(self, arr):
+        self.segs = [arr] if arr is not None else []
+        self.cursor = 0
 
     def remaining(self):
-        return 0 if self.data is None else self.data.shape[1] - self.cursor
+        return sum(s.shape[1] for s in self.segs) - self.cursor
 
 
 class PreProcessedElements:
@@ -82,28 +165,19 @@ class PreProcessedElements:
         return self.enc.encode(coeffs).transpose((1, 0))      # [n, B]
 
     # -- generators (reference generate_* API) -----------------------------
+    def _run_dealer(self, kind: str, k: int):
+        run = _dealer_jit(self.n, self.t, k, kind,
+                          self.enc.use_omega_powers)
+        return FpArray(run(self._next_key()))
+
     def generate_triples(self, k: int):
-        ka, kb = self._next_key(2)
-        a = FpArray.rand(ka, (k,))
-        b = FpArray.rand(kb, (k,))
-        ab = a * b
-        sh = FpArray.stack(
-            [self._share_values(a), self._share_values(b),
-             self._share_values(ab)], axis=2)                  # [n, k, 3]
-        self._pool("triples").put(sh)
+        self._pool("triples").put(self._run_dealer("triples", k))
 
     def generate_cubes(self, k: int):
-        r = FpArray.rand(self._next_key(), (k,))
-        r2 = r * r
-        r3 = r2 * r
-        sh = FpArray.stack(
-            [self._share_values(r), self._share_values(r2),
-             self._share_values(r3)], axis=2)
-        self._pool("cubes").put(sh)
+        self._pool("cubes").put(self._run_dealer("cubes", k))
 
     def generate_rands(self, k: int):
-        r = FpArray.rand(self._next_key(), (k,))
-        self._pool("rands").put(self._share_values(r).reshape(self.n, k, 1))
+        self._pool("rands").put(self._run_dealer("rands", k))
 
     def generate_zeros(self, k: int):
         z = FpArray.zeros((k,))
@@ -124,11 +198,8 @@ class PreProcessedElements:
 
     def generate_double_shares(self, k: int):
         """(r_t, r_2t) pairs (preprocessing.py:330)."""
-        r = FpArray.rand(self._next_key(), (k,))
-        sh = FpArray.stack(
-            [self._share_values(r, self.t),
-             self._share_values(r, 2 * self.t)], axis=2)       # [n, k, 2]
-        self._pool("double_shares").put(sh)
+        self._pool("double_shares").put(
+            self._run_dealer("double_shares", k))
 
     def generate_share_bits(self, k: int, bit_length: int = 255):
         """r plus its bit decomposition (preprocessing.py:299: stride 255+1)."""
