@@ -49,29 +49,20 @@ def mimc_mpc_batch(ctx: MpcContext, xs: ShareArray, k) -> ShareArray:
     return inp + k
 
 
-def mimc_mpc_batch_jit(ctx: MpcContext, xs: ShareArray, k) -> ShareArray:
-    """mimc_mpc_batch with all 161 rounds inside ONE jitted lax.scan —
-    the cube-trick open (sim fused kernels) is traceable, so the whole
-    cipher is a single device program instead of 161 dispatches. Sim
-    backend only; bit-identical to mimc_mpc_batch."""
-    assert ctx.sim, "jitted scan path is for the SimBackend"
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _mimc_scan_jit(n: int, t: int, robust: bool, omega: bool):
+    """Cached jitted 161-round MiMC scan (one compile per context params;
+    shapes recompile inside jax's own cache)."""
     import jax
     import jax.numpy as jnp
 
-    if isinstance(k, int):
-        k = FpArray.from_int(k)
-    B = xs.v.shape[-1]
-    cubes = [ctx.preproc.get_cubes(B) for _ in range(ROUND)]
-    r_l = jnp.stack([c[0].limbs for c in cubes])       # [ROUND, L, n, B]
-    r2_l = jnp.stack([c[1].limbs for c in cubes])
-    r3_l = jnp.stack([c[2].limbs for c in cubes])
-    ctr_l = FpArray.from_ints(list(range(ROUND))).limbs  # [L, ROUND]
-    n, t = ctx.n, ctx.t
-    robust, omega = ctx.robust, ctx.use_omega_powers
+    from ..parallel.reconstruct import sim_batch_reconstruct
 
     @jax.jit
     def run(x_l, k_l, r_l, r2_l, r3_l, ctr_l):
-        from ..parallel.reconstruct import sim_batch_reconstruct
         three = FpArray.from_int(3)
 
         def body(inp_l, per_round):
@@ -89,6 +80,31 @@ def mimc_mpc_batch_jit(ctx: MpcContext, xs: ShareArray, k) -> ShareArray:
             body, x_l, (r_l, r2_l, r3_l, jnp.moveaxis(ctr_l, -1, 0)))
         return (FpArray(out_l) + FpArray(k_l)).limbs
 
+    return run
+
+
+def mimc_mpc_batch_jit(ctx: MpcContext, xs: ShareArray, k) -> ShareArray:
+    """mimc_mpc_batch with all 161 rounds inside ONE jitted lax.scan —
+    the cube-trick open (sim fused kernels) is traceable, so the whole
+    cipher is a single device program instead of 161 dispatches. Sim
+    backend only; bit-identical to mimc_mpc_batch."""
+    assert ctx.sim, "jitted scan path is for the SimBackend"
+    import jax.numpy as jnp
+
+    if isinstance(k, int):
+        k = FpArray.from_int(k)
+    B = xs.v.shape[-1]
+    # one pool take for all rounds, reshaped to the scan axis
+    r, r2, r3 = ctx.preproc.get_cubes(ROUND * B)       # [n, ROUND*B] each
+
+    def _rounds(a):
+        lead = a.limbs.shape[:-1]
+        return jnp.moveaxis(
+            a.limbs.reshape(lead + (ROUND, B)), -2, 0)  # [ROUND, L, n, B]
+
+    r_l, r2_l, r3_l = _rounds(r), _rounds(r2), _rounds(r3)
+    ctr_l = FpArray.from_ints(list(range(ROUND))).limbs  # [L, ROUND]
+    run = _mimc_scan_jit(ctx.n, ctx.t, ctx.robust, ctx.use_omega_powers)
     return ctx.ShareArray(
         FpArray(run(xs.v.limbs, k.limbs, r_l, r2_l, r3_l, ctr_l)), xs.t)
 

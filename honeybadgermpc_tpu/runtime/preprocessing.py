@@ -102,8 +102,11 @@ class _Pool:
             seg = self.segs[0]
             avail = seg.shape[1] - self.cursor
             use = min(avail, need)
-            parts.append(FpArray(
-                seg.limbs[:, :, self.cursor:self.cursor + use]))
+            # dynamic_slice with a DEVICE offset: the compiled slice is
+            # offset-generic, so consuming cursor-style doesn't trigger a
+            # fresh XLA compile per take (baked static offsets would)
+            parts.append(FpArray(jax.lax.dynamic_slice_in_dim(
+                seg.limbs, jnp.int32(self.cursor), use, axis=2)))
             need -= use
             self.cursor += use
             if self.cursor == seg.shape[1]:
@@ -119,7 +122,10 @@ class _Pool:
         if not self.segs:
             return None
         if self.cursor:
-            self.segs[0] = FpArray(self.segs[0].limbs[:, :, self.cursor:])
+            seg = self.segs[0]
+            self.segs[0] = FpArray(jax.lax.dynamic_slice_in_dim(
+                seg.limbs, jnp.int32(self.cursor),
+                seg.shape[1] - self.cursor, axis=2))
             self.cursor = 0
         if len(self.segs) > 1:
             self.segs = [FpArray.concatenate(self.segs, axis=1)]
