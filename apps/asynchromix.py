@@ -20,7 +20,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from honeybadgermpc_tpu.elliptic_curve import Subgroup
-from honeybadgermpc_tpu.models.butterfly import iterated_butterfly_network
+from honeybadgermpc_tpu.models.butterfly import \
+    iterated_butterfly_network_jit
 from honeybadgermpc_tpu.models.powermixing import power_mix
 from honeybadgermpc_tpu.ops.fparray import FpArray
 from honeybadgermpc_tpu.runtime.context import MpcContext
@@ -76,13 +77,16 @@ class AsynchroMixServers:
     def __init__(self, n, t, k_per_epoch, seed=0, mix="butterfly"):
         self.n, self.t, self.k = n, t, k_per_epoch
         self.mix = mix
+        import math
+        rounds = int(math.log2(k_per_epoch)) ** 2
         pre = PreProcessedElements(n, t, seed=seed)
-        pre.generate_rands(1024)          # input masks
-        pre.generate_triples(1 << 14)
-        pre.generate_one_minus_ones(1 << 12)
+        pre.generate_rands(max(128, 2 * k_per_epoch))   # input masks
+        pre.generate_triples(rounds * k_per_epoch)      # one per switch
+        pre.generate_one_minus_ones(rounds * k_per_epoch)
         pre.generate_powers(k_per_epoch, k_per_epoch)
         self.ctx = MpcContext(n, t, preproc=pre)
-        self.masks = self.ctx.from_preproc(pre.get_rands(1024))
+        self.masks = self.ctx.from_preproc(
+            pre.get_rands(max(128, 2 * k_per_epoch)))
         self._mask_values = self.masks.open()   # cached plain (dealer sim)
 
     def open_input_mask(self, idx: int) -> int:
@@ -96,7 +100,8 @@ class AsynchroMixServers:
         msg_shares = self.ctx.ShareArray(
             FpArray.from_ints(masked) - mask_shares.v, self.t)
         if self.mix == "butterfly":
-            mixed = iterated_butterfly_network(self.ctx, msg_shares, self.k)
+            mixed = iterated_butterfly_network_jit(self.ctx, msg_shares,
+                                                  self.k)
             return sorted(int(v) for v in mixed.open().to_ints()[0])
         b_powers = self.ctx.from_preproc(self.ctx.preproc.get_powers(self.k))
         return power_mix(self.ctx, msg_shares, b_powers)

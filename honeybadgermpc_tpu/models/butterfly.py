@@ -49,6 +49,107 @@ def butterfly_round(ctx: MpcContext, inputs: ShareArray, sbits: ShareArray,
     return ctx.ShareArray(FpArray(merged), inputs.t)
 
 
+def _butterfly_perms(k: int):
+    """Per-round pairing permutations for the k(log k)^2 network: round r
+    uses stride s; returns (idxA [R, k/2], idxB [R, k/2], pout [R, k])
+    where pout scatters concat(out_x, out_y) back to positions."""
+    import math
+
+    import numpy as np
+
+    rounds = int(math.log2(k))
+    idxA, idxB, pout = [], [], []
+    for _ in range(rounds):
+        stride = 1
+        while stride < k:
+            a = [p for p in range(k) if (p // stride) % 2 == 0]
+            b = [p + stride for p in a]
+            idxA.append(a)
+            idxB.append(b)
+            pout.append(np.argsort(np.concatenate([a, b])))
+            stride *= 2
+    return (np.asarray(idxA, np.int32), np.asarray(idxB, np.int32),
+            np.asarray(pout, np.int32))
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _butterfly_jit(n: int, t: int, k: int, robust: bool, omega: bool):
+    """One jitted lax.scan for the whole k(log k)^2 network: per round a
+    gather pairs elements, one Beaver open switches them, a scatter puts
+    them back — uniform body, preprocessing passed as scan inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.reconstruct import sim_batch_reconstruct
+
+    idxA, idxB, pout = _butterfly_perms(k)
+    inv2 = FpArray.from_int(_INV2)
+
+    @jax.jit
+    def run(x_l, sb_l, a_l, b_l, ab_l):
+        def body(cur_l, per):
+            ia, ib, po, sbl, al, bl, abl = per
+            x = FpArray(jnp.take(cur_l, ia, axis=-1))
+            y = FpArray(jnp.take(cur_l, ib, axis=-1))
+            sb, a, b = FpArray(sbl), FpArray(al), FpArray(bl)
+            ab = FpArray(abl)
+            diff = x - y
+            opened, _ = sim_batch_reconstruct(
+                FpArray(jnp.concatenate(
+                    [(sb - a).limbs, (diff - b).limbs], axis=-1)),
+                n, t, omega, robust)
+            h = ia.shape[-1]
+            d = FpArray(opened.limbs[..., :h])
+            e = FpArray(opened.limbs[..., h:])
+            sdiff = d * e + d * b + e * a + ab
+            summ = x + y
+            ox = (summ + sdiff) * inv2
+            oy = (summ - sdiff) * inv2
+            merged = jnp.concatenate([ox.limbs, oy.limbs], axis=-1)
+            return jnp.take(merged, po, axis=-1), 0
+
+        out_l, _ = jax.lax.scan(
+            body, x_l,
+            (jnp.asarray(idxA), jnp.asarray(idxB), jnp.asarray(pout),
+             sb_l, a_l, b_l, ab_l))
+        return out_l
+
+    return run
+
+
+def iterated_butterfly_network_jit(ctx: MpcContext, inputs: ShareArray,
+                                   k: int) -> ShareArray:
+    """iterated_butterfly_network as ONE device dispatch (sim backend).
+    Same switching network and preprocessing consumption; swaps are
+    decided by the same one-minus-one sbits."""
+    assert ctx.sim and k & (k - 1) == 0
+    import math
+
+    import jax.numpy as jnp
+
+    rounds = int(math.log2(k))
+    R = rounds * rounds
+    h = k // 2
+
+    def _stack(parts):
+        return jnp.stack([p.limbs for p in parts], axis=0)
+
+    sbs, aa, bb, abab = [], [], [], []
+    for _ in range(R):
+        sbs.append(ctx.preproc.get_one_minus_ones(h))
+        a, b, ab = ctx.preproc.get_triples(h)
+        aa.append(a)
+        bb.append(b)
+        abab.append(ab)
+    run = _butterfly_jit(ctx.n, ctx.t, k, ctx.robust, ctx.use_omega_powers)
+    out = run(inputs.v.limbs, _stack(sbs), _stack(aa), _stack(bb),
+              _stack(abab))
+    return ctx.ShareArray(FpArray(out), inputs.t)
+
+
 def iterated_butterfly_network(ctx: MpcContext, inputs: ShareArray,
                                k: int) -> ShareArray:
     """log2(k) iterations of a log2(k)-round butterfly

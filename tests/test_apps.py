@@ -50,3 +50,27 @@ def test_power_mix_end_to_end(ctx, rng):
     b_powers = ctx.from_preproc(ctx.preproc.get_powers(B))
     got = power_mix(ctx, m_sh, b_powers)
     assert got == sorted(msgs)
+
+
+def test_butterfly_network_jit():
+    """One-dispatch butterfly (models/butterfly.py) permutes and matches
+    the eager network's contract (reference butterfly_network.py:22-53)."""
+    import math
+
+    from honeybadgermpc_tpu.models.butterfly import \
+        iterated_butterfly_network_jit
+    from honeybadgermpc_tpu.ops.fparray import FpArray
+    from honeybadgermpc_tpu.runtime.context import MpcContext
+    from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
+
+    n, t, k = 4, 1, 8
+    R = int(math.log2(k)) ** 2
+    pre = PreProcessedElements(n, t, seed=0)
+    pre.generate_one_minus_ones(R * k)
+    pre.generate_triples(R * k)
+    ctx = MpcContext(n, t, preproc=pre)
+    vals = list(range(50, 50 + k))
+    xs = ctx.from_preproc(pre._share_values(FpArray.from_ints(vals)))
+    opened = iterated_butterfly_network_jit(ctx, xs, k).open().to_ints()
+    for j in range(n):
+        assert sorted(int(v) for v in opened[j]) == sorted(vals)
