@@ -36,7 +36,7 @@ from .mesh import MeshBackend, SimBackend
 
 
 def _decode_block(enc: Encoding, ys: FpArray, k: int, robust: bool,
-                  want_coeffs: bool = True):
+                  want_coeffs: bool = True, fallback: bool = True):
     """Decode from all-n shares ys[..., n] with the optimistic-then-Gao
     strategy. Returns (out, n_errors[...]) where out is the message coeffs
     [..., k] (want_coeffs) or the interpolant evaluated at 0 [...].
@@ -60,30 +60,42 @@ def _decode_block(enc: Encoding, ys: FpArray, k: int, robust: bool,
 
     # validation: predicted shares of parties k..n-1 vs the received ones
     agree = FpArray(reenc_rest).eq(FpArray(ys.limbs[..., k:]))
+    if not fallback:
+        # detect-only mode: report disagreement counts, let the HOST decide
+        # to rerun robustly (the in-graph Gao fallback makes the compiled
+        # program large enough to trip this platform's sporadic TPU-worker
+        # crash; host-level two-phase opens avoid compiling it at all)
+        errs = jnp.sum(~agree, axis=-1).astype(jnp.int32)
+        return fast, errs
     all_ok = jnp.all(agree)
 
-    # The Gao fallback's EEA state is ~10x the data size; running it over
-    # the whole chunk batch at once OOMs HBM at the n=64 / 2^16-share
-    # benchmark shape. Segment the chunk axis with lax.map (sequential, one
-    # segment live at a time) — it is the rare faulty path, so its latency
-    # is irrelevant; only its peak memory matters.
-    SEG = 256
+    # The Gao fallback's EEA state is ~10x the data size, and this jaxlib's
+    # XLA:TPU crashes the worker outright somewhere above ~12k concurrent
+    # EEA instances at n=64 (bisected: [64,192] batch fine, [64,224]
+    # kills the TPU worker process). Flatten ALL batch axes and segment by
+    # a fixed instance budget with lax.map (sequential, one segment live at
+    # a time) — it is the rare faulty path, so its latency is irrelevant;
+    # only peak memory / instance count matters.
+    BUDGET = 4096
 
     def fallback(_):
         from .mesh import SimBackend  # noqa: F401 (doc cross-ref)
-        limbs = ys.limbs                              # [L, ..., C, n]
-        C = limbs.shape[-2]
-        nseg = max(1, -(-C // SEG))
-        pad = nseg * SEG - C
+        limbs = ys.limbs                              # [L, *batch, n]
+        lead = limbs.shape[0]
+        bshape = limbs.shape[1:-1]
+        nb = int(np.prod(bshape)) if bshape else 1
+        seg = min(BUDGET, nb)
+        nseg = -(-nb // seg)
+        pad = nseg * seg - nb
+        flat = limbs.reshape(lead, nb, n)
         if pad:
-            limbs = jnp.concatenate(
-                [limbs, jnp.zeros(limbs.shape[:-2] + (pad, n), jnp.uint32)],
-                axis=-2)
-        segs = jnp.moveaxis(
-            limbs.reshape(limbs.shape[:-2] + (nseg, SEG, n)),
-            -3, 0)                                    # [nseg, L, ..., SEG, n]
+            # zero shares are a valid codeword: the padding decodes to the
+            # zero polynomial with 0 errors and is sliced off below
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((lead, pad, n), jnp.uint32)], axis=1)
+        segs = jnp.moveaxis(flat.reshape(lead, nseg, seg, n), 1, 0)
 
-        def seg_fn(seg_limbs):
+        def seg_fn(seg_limbs):                        # [L, seg, n]
             coeffs, reenc2, ok = gao_robust_decode(
                 enc, tuple(range(n)), FpArray(seg_limbs), k)
             errs = jnp.sum(~reenc2.eq(FpArray(seg_limbs)),
@@ -91,15 +103,11 @@ def _decode_block(enc: Encoding, ys: FpArray, k: int, robust: bool,
             out = coeffs.limbs if want_coeffs else coeffs.limbs[..., 0]
             return out, errs
 
-        out, errs = jax.lax.map(seg_fn, segs)
-        ax = -3 if want_coeffs else -2
-        out = jnp.moveaxis(out, 0, ax)
-        if want_coeffs:
-            out = out.reshape(out.shape[:-3] + (nseg * SEG, k))[..., :C, :]
-        else:
-            out = out.reshape(out.shape[:-2] + (nseg * SEG,))[..., :C]
-        errs = jnp.moveaxis(errs, 0, -2)
-        errs = errs.reshape(errs.shape[:-2] + (nseg * SEG,))[..., :C]
+        out, errs = jax.lax.map(seg_fn, segs)        # [nseg, L, seg, (k)]
+        out = jnp.moveaxis(out, 0, 1).reshape(
+            (lead, nseg * seg) + ((k,) if want_coeffs else ()))[:, :nb]
+        out = out.reshape((lead,) + bshape + ((k,) if want_coeffs else ()))
+        errs = errs.reshape(nseg * seg)[:nb].reshape(bshape)
         return out, errs
 
     def fastpath(_):
@@ -110,7 +118,8 @@ def _decode_block(enc: Encoding, ys: FpArray, k: int, robust: bool,
 
 
 def batch_reconstruct(backend, shares: FpArray, n: int, t: int,
-                      use_omega_powers: bool = False, robust: bool = True):
+                      use_omega_powers: bool = False, robust: bool = True,
+                      fallback: bool = True):
     """Open a batch of B secrets from degree-t shares.
 
     ``shares``: per-party local [..., B] (SimBackend: leading party axis so
@@ -128,12 +137,14 @@ def batch_reconstruct(backend, shares: FpArray, n: int, t: int,
     coeffs = shares.reshape(shares.shape[:-1] + (C, k))
     cols = enc.encode(coeffs)                    # [..., C, n]
     recv = backend.all_to_all(cols)              # [..., C, n] (psi_j shares)
-    vals, err1 = _decode_block(enc, recv, t + 1, robust, want_coeffs=False)
+    vals, err1 = _decode_block(enc, recv, t + 1, robust, want_coeffs=False,
+                               fallback=fallback)
     # vals = psi_j(0) = S_c(x_j): [..., C]
 
     # R2: everyone shares its S_c(x_j); decode S_c -> secrets
     gathered = backend.all_gather(vals)          # [..., C, n]
-    sec_coeffs, err2 = _decode_block(enc, gathered, k, robust)
+    sec_coeffs, err2 = _decode_block(enc, gathered, k, robust,
+                                     fallback=fallback)
     secrets = sec_coeffs.reshape(sec_coeffs.shape[:-2] + (B,))
     nerr = jnp.sum(err1, axis=-1) + jnp.sum(err2, axis=-1)
     return secrets, nerr
@@ -154,23 +165,29 @@ def robust_open_single(backend, share: FpArray, n: int, t: int,
 
 @lru_cache(maxsize=None)
 def _sim_reconstruct_packed_jit(n: int, t: int, use_omega_powers: bool,
-                                robust: bool):
+                                robust: bool, fallback: bool = True):
     """Fused open over PACKED shares [PL, n, B] (the dealer's at-rest
     format) -> (secrets PACKED [PL, n, B], nerr). TPU fused path only —
-    callers holding unpacked limbs use _sim_reconstruct_jit."""
+    callers holding unpacked limbs use _sim_reconstruct_jit.
+
+    fallback=False: validation error counts are still returned but the
+    in-graph Gao fallback is NOT compiled in — the caller host-checks nerr
+    and reruns robustly (see sim_batch_reconstruct)."""
     enc = Encoding(n, use_omega_powers=use_omega_powers)
     points = tuple(int(x) % mont.P for x in enc.points)
 
     @jax.jit
     def run_packed(packed):
         from ..ops.fused_open import sim_open_fused_packed
-        return sim_open_fused_packed(packed, n, t, points, robust=robust)
+        return sim_open_fused_packed(packed, n, t, points,
+                                     robust=robust and fallback)
 
     return run_packed
 
 
 @lru_cache(maxsize=None)
-def _sim_reconstruct_jit(n: int, t: int, use_omega_powers: bool, robust: bool):
+def _sim_reconstruct_jit(n: int, t: int, use_omega_powers: bool, robust: bool,
+                         fallback: bool = True):
     """Cached jitted whole-open kernel for the SimBackend path. Essential:
     an eager call re-traces the lax.cond fallback branch every time, which
     costs more than the decode itself.
@@ -196,7 +213,8 @@ def _sim_reconstruct_jit(n: int, t: int, use_omega_powers: bool, robust: bool):
         def run_fused(limbs):
             # returns secrets PACKED [PL, n, B] (fused_open storage form)
             from ..ops.fused_open import sim_open_fused
-            return sim_open_fused(limbs, n, t, points, robust=robust)
+            return sim_open_fused(limbs, n, t, points,
+                                  robust=robust and fallback)
 
         run_fused.packed = True
         return run_fused
@@ -204,7 +222,8 @@ def _sim_reconstruct_jit(n: int, t: int, use_omega_powers: bool, robust: bool):
     @jax.jit
     def run(limbs):
         secrets, nerr = batch_reconstruct(
-            backend, FpArray(limbs), n, t, use_omega_powers, robust)
+            backend, FpArray(limbs), n, t, use_omega_powers, robust,
+            fallback=fallback)
         return secrets.limbs, nerr
 
     return run
@@ -212,13 +231,136 @@ def _sim_reconstruct_jit(n: int, t: int, use_omega_powers: bool, robust: bool):
 
 def sim_batch_reconstruct(shares: FpArray, n: int, t: int,
                           use_omega_powers: bool = False, robust: bool = True):
-    """Jitted SimBackend batch open (shares [n, ..., B])."""
-    run = _sim_reconstruct_jit(n, t, use_omega_powers, robust)
+    """Jitted SimBackend batch open (shares [n, ..., B]).
+
+    At the host level on TPU the robust path is TWO-PHASE: the dispatched
+    program only detects faults (optimistic decode + validation counts) and
+    a host check reruns the open through the segment-wise Gao redo when any
+    share disagreed. Compiling the Gao fallback into the main program
+    sporadically crashes this platform's TPU worker (jaxlib codegen bug,
+    probability grows with program size), and two-phase also cuts the
+    common-case compile by the whole robust branch. Under an enclosing jit
+    (e.g. the MiMC scan) the in-graph lax.cond fallback is kept."""
+    import jax.core
+    traced = isinstance(shares.limbs, jax.core.Tracer)
+    host_two_phase = (robust and not traced
+                      and jax.default_backend() not in ("cpu",))
+    run = _sim_reconstruct_jit(n, t, use_omega_powers, robust,
+                               fallback=not host_two_phase)
     limbs, nerr = run(shares.limbs)
     if getattr(run, "packed", False):
         from ..ops.fused_open import unpack_limbs
         limbs = jax.jit(unpack_limbs)(limbs)
+    if host_two_phase and int(jax.device_get(jnp.sum(nerr))) != 0:
+        limbs, nerr = host_robust_redo(
+            np.asarray(jax.device_get(shares.limbs)), n, t,
+            use_omega_powers)
+        limbs = jax.device_put(limbs)
     return FpArray(limbs), nerr
+
+
+# ---------------------------------------------------------------------------
+# Host-driven robust redo: the rare faulty path, built to survive this
+# platform's sporadic TPU-worker crashes — every device program is small
+# (one Gao segment), inputs live on the host, and crashed dispatches are
+# retried after the worker restarts.
+# ---------------------------------------------------------------------------
+
+_REDO_SEG = 2048          # Gao instances per dispatch
+_REDO_TRIES = 4
+
+
+def _retry_get(fn, *args):
+    import time as _time
+    for attempt in range(_REDO_TRIES):
+        try:
+            return jax.device_get(fn(*args))
+        except Exception as e:                        # jax.errors.JaxRuntimeError
+            if "UNAVAILABLE" not in str(e) or attempt == _REDO_TRIES - 1:
+                raise
+            _time.sleep(10.0)                         # let the worker restart
+
+
+@lru_cache(maxsize=None)
+def _redo_encode_jit(n: int, use_omega_powers: bool, k: int):
+    enc = Encoding(n, use_omega_powers=use_omega_powers)
+    backend = SimBackend(n)
+
+    @jax.jit
+    def run(limbs):                                   # [L, n, B]
+        C = limbs.shape[-1] // k
+        coeffs = FpArray(limbs.reshape(limbs.shape[:-1] + (C, k)))
+        return backend.all_to_all(enc.encode(coeffs)).limbs  # [L, n, C, n]
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _redo_gao_jit(n: int, use_omega_powers: bool, k: int):
+    enc = Encoding(n, use_omega_powers=use_omega_powers)
+
+    @jax.jit
+    def run(seg_limbs):                               # [L, SEG, n]
+        coeffs, reenc, ok = gao_robust_decode(
+            enc, tuple(range(n)), FpArray(seg_limbs), k)
+        errs = jnp.sum(~reenc.eq(FpArray(seg_limbs)), axis=-1)
+        return coeffs.limbs, errs.astype(jnp.int32)
+
+    return run
+
+
+def _redo_decode_round(flat_np, n, use_omega_powers, k):
+    """flat_np [L, NB, n] host array -> (coeffs [L, NB, k], errs [NB])
+    via segment-wise dispatch with crash retry."""
+    L0, nb, _ = flat_np.shape
+    seg = min(_REDO_SEG, nb)
+    nseg = -(-nb // seg)
+    gao = _redo_gao_jit(n, use_omega_powers, k)
+    out = np.empty((L0, nb, k), np.uint32)
+    errs = np.empty((nb,), np.int32)
+    for s in range(nseg):
+        lo = s * seg
+        hi = min(lo + seg, nb)
+        chunk = flat_np[:, lo:hi]
+        if hi - lo < seg:                             # zero-pad: valid codeword
+            chunk = np.concatenate(
+                [chunk, np.zeros((L0, seg - (hi - lo), n), np.uint32)], 1)
+        c, e = _retry_get(gao, chunk)
+        out[:, lo:hi] = c[:, :hi - lo]
+        errs[lo:hi] = e[:hi - lo]
+    return out, errs
+
+
+def host_robust_redo(shares_np: np.ndarray, n: int, t: int,
+                     use_omega_powers: bool = False):
+    """Full robust re-open of shares_np [L, n, B] (uint32 host array) with
+    error correction up to (n-t-1)//2 wrong shares per decode. Returns
+    (secrets [L, n, B] np, nerr [n] np). Mirrors batch_reconstruct's
+    two-round structure; each decode is a small retried Gao dispatch."""
+    k = t + 1
+    L0, n_, B = shares_np.shape
+    assert n_ == n and B % k == 0, (shares_np.shape, n, k)
+    C = B // k
+
+    recv = _retry_get(_redo_encode_jit(n, use_omega_powers, k),
+                      shares_np)                      # [L, n, C, n]
+    # R1: per-dst robust decode of psi_j shares
+    flat = np.ascontiguousarray(recv).reshape(L0, n * C, n)
+    co1, err1 = _redo_decode_round(flat, n, use_omega_powers, k)
+    vals = co1[..., 0].reshape(L0, n, C)              # psi_j(0) = S_c(x_j)
+
+    # R2 all_gather: every dst decodes the same psi vector (per-dst decodes
+    # kept for simulation fidelity, like the fused K3 kernel)
+    gathered = np.broadcast_to(
+        np.moveaxis(vals, 1, 2)[:, None],             # [L, 1, C, n]
+        (L0, n, C, n))
+    flat2 = np.ascontiguousarray(gathered).reshape(L0, n * C, n)
+    co2, err2 = _redo_decode_round(flat2, n, use_omega_powers, k)
+    secrets = co2.reshape(L0, n, C, k).reshape(L0, n, B)
+
+    nerr = (err1.reshape(n, C).sum(1) + err2.reshape(n, C).sum(1)) \
+        .astype(np.int32)
+    return secrets, nerr
 
 
 def make_sharded_reconstruct(mesh, n: int, t: int,

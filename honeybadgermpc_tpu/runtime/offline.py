@@ -66,12 +66,22 @@ def _open_columns(backend, cols: FpArray, n: int, degree: int):
                  and n % 8 == 0 and k <= KMAX
                  and not os.environ.get("HBMPC_NO_FUSED_OPEN"))
     if use_fused:
+        import jax.core
+
         from ..ops import montgomery as mont
         enc = Encoding(n)
         points = tuple(int(x) % mont.P for x in enc.points)
+        # host-level calls run two-phase (detect in-graph, robust redo on
+        # the host) — see parallel/reconstruct.py::sim_batch_reconstruct
+        traced = isinstance(flat.limbs, jax.core.Tracer)
         packed, nerr = sim_open_fused(flat.limbs, n, degree, points,
-                                      robust=True)
+                                      robust=traced)
         vals = FpArray(unpack_limbs(packed))
+        if not traced and int(jax.device_get(jnp.sum(nerr))) != 0:
+            from ..parallel.reconstruct import host_robust_redo
+            limbs_np, nerr = host_robust_redo(
+                np.asarray(jax.device_get(flat.limbs)), n, degree)
+            vals = FpArray(jax.device_put(limbs_np))
     else:
         vals, nerr = batch_reconstruct(backend, flat, n, degree, robust=True)
     vals = FpArray(vals.limbs[..., :B])

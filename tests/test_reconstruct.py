@@ -92,3 +92,32 @@ def test_sharded_reconstruct_with_faults(rng):
     for j in range(n):
         assert list(got.to_ints()[j]) == secrets
     assert int(np.asarray(nerr).sum()) > 0
+
+
+def test_host_robust_redo(rng):
+    """The host-driven segment-wise Gao redo (the TPU two-phase robust
+    path's phase 2) corrects injected faults bit-exactly."""
+    from honeybadgermpc_tpu.parallel.reconstruct import host_robust_redo
+    n, t = 7, 2
+    B = 3 * (t + 1)
+    enc = Encoding(n)
+    secrets, shares = deal(rng, enc, t, B)
+    ids = SimBackend(n).my_ids()
+    faulty = inject_share_faults(shares, ids, [2], jax.random.PRNGKey(3))
+    sec_np, nerr = host_robust_redo(
+        np.asarray(jax.device_get(faulty.limbs)), n, t)
+    got = FpArray(jax.device_put(sec_np))
+    for j in range(n):
+        assert list(got.to_ints()[j]) == secrets
+    assert nerr.sum() > 0
+    # tiny-segment path: force multiple segments
+    import honeybadgermpc_tpu.parallel.reconstruct as rec
+    old = rec._REDO_SEG
+    try:
+        rec._REDO_SEG = 4                   # n*C = 21 instances -> 6 segs
+        sec_np2, nerr2 = host_robust_redo(
+            np.asarray(jax.device_get(faulty.limbs)), n, t)
+        assert np.array_equal(sec_np, sec_np2)
+        assert np.array_equal(nerr, nerr2)
+    finally:
+        rec._REDO_SEG = old
