@@ -78,7 +78,8 @@ def newton_inversion(psums: list, k: int) -> list:
 
 def find_roots(elem_sym: list) -> list:
     """Roots of x^k - e1 x^(k-1) + e2 x^(k-2) - ... over GF(p) via
-    Cantor-Zassenhaus (host; solver.cpp back half). Assumes distinct roots
+    Cantor-Zassenhaus (native C++ `find_roots`, the role of the reference's
+    FLINT solver.cpp; pure-Python fallback below). Assumes distinct roots
     (messages are randomized field elements)."""
     k = len(elem_sym)
     poly = [1]
@@ -86,6 +87,18 @@ def find_roots(elem_sym: list) -> list:
         poly.append((-1) ** (j + 1) * ej % P)
     # poly coeffs descending: x^k - e1 x^{k-1} + ...
     f = list(reversed(poly))     # ascending
+
+    try:
+        from ..native import _hbmpc_native as _nat
+    except Exception:
+        _nat = None
+    if _nat is not None and hasattr(_nat, "find_roots"):
+        buf = b"".join(c.to_bytes(32, "little") for c in f)
+        out = _nat.find_roots(buf)
+        roots = sorted(int.from_bytes(out[i * 32:(i + 1) * 32], "little")
+                       for i in range(len(out) // 32))
+        assert len(roots) == k, f"expected {k} distinct roots, got {len(roots)}"
+        return roots
 
     def pmod(a, m):
         a = a[:]

@@ -295,3 +295,26 @@ class PreProcessedElements:
             if os.path.exists(meta):
                 with open(meta, "rb") as f:
                     pool.cursor = pickle.load(f)["cursor"]
+
+
+# -- cross-process READY barrier (preprocessing.py:585-595 parity) ----------
+_READY_FILE = "READY"
+
+
+def preprocessing_done(path: str = "sharedata"):
+    """Signal that dealer preprocessing under ``path`` is complete."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _READY_FILE), "w") as f:
+        f.write("ready")
+
+
+def wait_for_preprocessing(path: str = "sharedata", timeout: float = 60.0,
+                           poll: float = 0.2):
+    """Block until the dealer drops the READY file under ``path``."""
+    import time
+    deadline = time.monotonic() + timeout
+    ready = os.path.join(path, _READY_FILE)
+    while not os.path.exists(ready):
+        if time.monotonic() >= deadline:
+            raise TimeoutError(f"preprocessing READY barrier: {ready}")
+        time.sleep(poll)

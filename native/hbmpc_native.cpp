@@ -348,6 +348,205 @@ static PyObject* py_interpolate(PyObject*, PyObject* args) {
     return pack(plain);
 }
 
+// ---------------------------------------------------------------------------
+// GF(p) polynomial root finding (the reference's FLINT-based power-mixing
+// solver, apps/asynchromix/solver/solver.cpp: Newton identities are done by
+// the caller; this is the root-finding back half). Cantor-Zassenhaus
+// equal-degree splitting specialized to products of DISTINCT LINEAR factors
+// (power-mix messages are distinct random field elements). All polynomial
+// coefficients kept in Montgomery form, ascending degree order.
+
+typedef std::vector<Fr> Poly;      // ascending, Montgomery form
+
+static int pdeg(const Poly& a) {
+    static const u64 Z[4] = {0, 0, 0, 0};
+    for (int d = (int)a.size() - 1; d >= 0; --d)
+        if (memcmp(a[d].v, Z, 32) != 0) return d;
+    return -1;
+}
+
+static void ptrim(Poly& a) {
+    int d = pdeg(a);
+    a.resize(d + 1 < 1 ? 1 : d + 1);
+    if (d < 0) memset(a[0].v, 0, 32);
+}
+
+// a mod m (m monic-ized internally); in place on a copy
+static Poly pmod_(Poly a, const Poly& m) {
+    int dm = pdeg(m);
+    u64 lead_inv[4];
+    mont_inv(m[dm].v, lead_inv);
+    ptrim(a);
+    while (pdeg(a) >= dm && dm >= 0) {
+        int da = pdeg(a);
+        u64 c[4];
+        mont_mul(a[da].v, lead_inv, c);
+        int off = da - dm;
+        for (int i = 0; i <= dm; ++i) {
+            u64 t1[4], t2[4];
+            mont_mul(c, m[i].v, t1);
+            sub_(a[off + i].v, t1, t2);
+            memcpy(a[off + i].v, t2, 32);
+        }
+        ptrim(a);
+    }
+    return a;
+}
+
+static Poly pmulmod_(const Poly& a, const Poly& b, const Poly& m) {
+    Poly out(a.size() + b.size() - 1);
+    memset(out.data(), 0, out.size() * 32);
+    for (size_t i = 0; i < a.size(); ++i)
+        for (size_t j = 0; j < b.size(); ++j) {
+            u64 t1[4], t2[4];
+            mont_mul(a[i].v, b[j].v, t1);
+            add_(out[i + j].v, t1, t2);
+            memcpy(out[i + j].v, t2, 32);
+        }
+    return pmod_(out, m);
+}
+
+// base^e mod m, e a 4x64 little-endian integer
+static Poly ppowmod_(Poly base, const u64 e[4], const Poly& m) {
+    Poly result(1);
+    memcpy(result[0].v, R1_, 32);
+    base = pmod_(base, m);
+    int ebits = 256;
+    while (ebits > 0 &&
+           !((e[(ebits - 1) / 64] >> ((ebits - 1) % 64)) & 1)) --ebits;
+    for (int bit = 0; bit < ebits; ++bit) {
+        if ((e[bit / 64] >> (bit % 64)) & 1)
+            result = pmulmod_(result, base, m);
+        if (bit + 1 < ebits) base = pmulmod_(base, base, m);
+    }
+    return result;
+}
+
+static Poly pgcd_(Poly a, Poly b) {
+    ptrim(a); ptrim(b);
+    while (pdeg(b) >= 0) {
+        a = pmod_(a, b);
+        std::swap(a, b);
+    }
+    int d = pdeg(a);
+    if (d >= 0) {                    // monic-ize
+        u64 inv[4];
+        mont_inv(a[d].v, inv);
+        for (int i = 0; i <= d; ++i) {
+            u64 t[4];
+            mont_mul(a[i].v, inv, t);
+            memcpy(a[i].v, t, 32);
+        }
+    }
+    return a;
+}
+
+static Poly pdiv_(Poly num, const Poly& den) {
+    int dd = pdeg(den);
+    u64 inv[4];
+    mont_inv(den[dd].v, inv);
+    ptrim(num);
+    Poly out(pdeg(num) - dd + 1);
+    memset(out.data(), 0, out.size() * 32);
+    while (pdeg(num) >= dd) {
+        int dn = pdeg(num);
+        u64 c[4];
+        mont_mul(num[dn].v, inv, c);
+        int off = dn - dd;
+        memcpy(out[off].v, c, 32);
+        for (int i = 0; i <= dd; ++i) {
+            u64 t1[4], t2[4];
+            mont_mul(c, den[i].v, t1);
+            sub_(num[off + i].v, t1, t2);
+            memcpy(num[off + i].v, t2, 32);
+        }
+        ptrim(num);
+    }
+    return out;
+}
+
+static u64 cz_rng_state;
+static u64 cz_next() {              // xorshift64* — deterministic splitting
+    u64 x = cz_rng_state;
+    x ^= x >> 12; x ^= x << 25; x ^= x >> 27;
+    cz_rng_state = x;
+    return x * 0x2545F4914F6CDD1DULL;
+}
+
+static const u64 P_HALF[4] = {       // (p-1)/2
+    0x7fffffff80000000ULL, 0xa9ded2017fff2dffULL,
+    0x199cec0404d0ec02ULL, 0x39f6d3a994cebea4ULL};
+
+// g = monic product of distinct linear factors; append roots (Montgomery)
+static void cz_split(const Poly& g, std::vector<Fr>& roots) {
+    int d = pdeg(g);
+    if (d <= 0) return;
+    if (d == 1) {                    // x + g0 -> root = -g0
+        Fr r;
+        u64 zero[4] = {0, 0, 0, 0};
+        sub_(zero, g[0].v, r.v);
+        roots.push_back(r);
+        return;
+    }
+    for (;;) {
+        // h = (x + r)^((p-1)/2) - 1 mod g
+        Poly xr(2);
+        u64 rp[4] = {cz_next(), cz_next() & 0x3fffffffffffffffULL, 0, 0};
+        to_mont(rp, xr[0].v);
+        memcpy(xr[1].v, R1_, 32);
+        Poly h = ppowmod_(xr, P_HALF, g);
+        if ((int)h.size() < 1) h.resize(1);
+        u64 t[4];
+        sub_(h[0].v, R1_, t);
+        memcpy(h[0].v, t, 32);
+        Poly d1 = pgcd_(g, h);
+        int dd1 = pdeg(d1);
+        if (dd1 > 0 && dd1 < d) {
+            Poly d2 = pdiv_(g, d1);
+            cz_split(d1, roots);
+            cz_split(d2, roots);
+            return;
+        }
+    }
+}
+
+// find_roots(coeffs): ascending plain-domain coefficients of a squarefree
+// polynomial whose roots all lie in GF(p); returns the roots as bytes.
+static PyObject* py_find_roots(PyObject*, PyObject* args) {
+    PyObject* co;
+    unsigned long long seed = 0xC0FFEEULL;
+    if (!PyArg_ParseTuple(args, "O|K", &co, &seed)) return nullptr;
+    std::vector<Fr> coeffs;
+    if (!get_elems(co, coeffs)) return nullptr;
+    if (coeffs.size() < 2) {
+        PyErr_SetString(PyExc_ValueError, "degree must be >= 1");
+        return nullptr;
+    }
+    Poly f(coeffs.size());
+    for (size_t i = 0; i < coeffs.size(); ++i) to_mont(coeffs[i].v, f[i].v);
+    ptrim(f);
+
+    std::vector<Fr> roots;
+    Py_BEGIN_ALLOW_THREADS
+    cz_rng_state = seed | 1;
+    // restrict to the split part: gcd(f, x^p - x)
+    Poly x(2);
+    memset(x[0].v, 0, 32);
+    memcpy(x[1].v, R1_, 32);
+    Poly xp = ppowmod_(x, P_, f);           // x^p mod f
+    if (xp.size() < 2) { xp.resize(2); memset(xp[1].v, 0, 32); }
+    u64 t[4];
+    sub_(xp[1].v, R1_, t);                  // x^p - x
+    memcpy(xp[1].v, t, 32);
+    Poly g = pgcd_(f, xp);
+    cz_split(g, roots);
+    Py_END_ALLOW_THREADS
+
+    std::vector<Fr> plain(roots.size());
+    for (size_t i = 0; i < roots.size(); ++i) from_mont(roots[i].v, plain[i].v);
+    return pack(plain);
+}
+
 static PyMethodDef Methods[] = {
     {"mulmod_vec", py_mulmod, METH_VARARGS, "elementwise a*b mod p"},
     {"addmod_vec", py_addmod, METH_VARARGS, "elementwise a+b mod p"},
@@ -358,6 +557,8 @@ static PyMethodDef Methods[] = {
     {"poly_eval_batch", py_poly_eval, METH_VARARGS, "batch Horner eval"},
     {"lagrange_interpolate", py_interpolate, METH_VARARGS,
      "batch Lagrange interpolation"},
+    {"find_roots", py_find_roots, METH_VARARGS,
+     "roots of a squarefree fully-split polynomial over GF(p)"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {
