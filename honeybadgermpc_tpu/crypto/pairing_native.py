@@ -53,6 +53,19 @@ def _load():
         if name == "bls_g1_multiexp":
             args = [u8p, u8p, u8p, ctypes.c_int]
         fn.argtypes = args
+    for grp in ("g1", "g2"):
+        try:
+            sz = getattr(lib, f"bls_{grp}_table_size")
+            sz.restype = ctypes.c_int
+            sz.argtypes = [ctypes.c_int]
+            pre = getattr(lib, f"bls_{grp}_precompute")
+            pre.restype = None
+            pre.argtypes = [u8p, u8p, ctypes.c_int]
+            mt = getattr(lib, f"bls_{grp}_mul_table")
+            mt.restype = None
+            mt.argtypes = [u8p, u8p, u8p, ctypes.c_int]
+        except AttributeError:       # stale .so without the table API
+            pass
     return lib
 
 
@@ -152,6 +165,27 @@ def g1_multiexp(pts, scalars) -> pp.CurvePoint:
     out = _buf(_G1_SZ)
     LIB.bls_g1_multiexp(out, _u8(flat_p), _u8(flat_s), n)
     return g1_deser(out)
+
+
+class FixedBaseTable:
+    """Fixed-base window table for repeated scalar mults of one point (the
+    reference's wNAF ``preprocess()``, pairing/src/lib.rs + wnaf.rs).
+    ``group`` is 'g1' or 'g2'; ``w`` the window width in bits."""
+
+    def __init__(self, group: str, point: pp.CurvePoint, w: int = 5):
+        self.group, self.w = group, w
+        ser = g1_ser if group == "g1" else g2_ser
+        self._out_sz = _G1_SZ if group == "g1" else _G2_SZ
+        size = getattr(LIB, f"bls_{group}_table_size")(w)
+        self._table = _buf(size)
+        getattr(LIB, f"bls_{group}_precompute")(self._table, _u8(ser(point)), w)
+        self._mul = getattr(LIB, f"bls_{group}_mul_table")
+        self._deser = g1_deser if group == "g1" else g2_deser
+
+    def mul(self, k: int) -> pp.CurvePoint:
+        out = _buf(self._out_sz)
+        self._mul(out, self._table, _u8(_scalar(int(k))), self.w)
+        return self._deser(out)
 
 
 def g2_mul(p: pp.CurvePoint, k: int) -> pp.CurvePoint:

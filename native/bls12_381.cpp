@@ -11,8 +11,10 @@
 // or here). Fq12 uses the same flattened sextic basis as the Python:
 // c[0..5] over Fq2 with t^6 = xi = u + 1.
 
+#include <array>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 #include "bls_constants.h"
 
@@ -692,6 +694,78 @@ static void pt_mul(Point<F> &o, const Point<F> &p, const uint64_t k[4]) {
     o = out;
 }
 
+// Pippenger bucket multiexp: window size picked from n, buckets per
+// window accumulated with one add per term, then the classic running-sum
+// collapse. ~256/c adds per term vs ~384 point ops for naive per-term mul.
+template <class F>
+static void pt_multiexp(Point<F> &out, const Point<F> *pts,
+                        const uint64_t (*ks)[4], size_t n) {
+    int c = n < 4 ? 2 : (n < 32 ? 4 : (n < 256 ? 6 : (n < 2048 ? 8 : 12)));
+    int nwin = (256 + c - 1) / c;
+    size_t nbuckets = ((size_t)1 << c) - 1;
+    std::vector<Point<F>> buckets(nbuckets);
+    Point<F> total = pt_inf<F>();
+    for (int w = nwin - 1; w >= 0; --w) {
+        if (w != nwin - 1)
+            for (int d = 0; d < c; ++d) pt_double(total, total);
+        for (size_t b = 0; b < nbuckets; ++b) buckets[b] = pt_inf<F>();
+        for (size_t i = 0; i < n; ++i) {
+            uint64_t digit = 0;
+            for (int j = 0; j < c; ++j) {
+                int bb = w * c + j;
+                if (bb < 256 && ((ks[i][bb / 64] >> (bb % 64)) & 1))
+                    digit |= (uint64_t)1 << j;
+            }
+            if (digit)
+                pt_add(buckets[digit - 1], buckets[digit - 1], pts[i]);
+        }
+        Point<F> run = pt_inf<F>(), sum = pt_inf<F>();
+        for (size_t b = nbuckets; b-- > 0;) {
+            pt_add(run, run, buckets[b]);
+            pt_add(sum, sum, run);
+        }
+        pt_add(total, total, sum);
+    }
+    out = total;
+}
+
+// Fixed-base window table (the reference pypairing's wNAF `preprocess()`
+// role, pairing/src/wnaf.rs): nwin = ceil(256/w) windows of (2^w - 1)
+// precomputed multiples; a table multiply is adds only, no doubles.
+template <class F>
+static void pt_precompute(Point<F> *table, const Point<F> &p, int w) {
+    Point<F> base = p;
+    int nwin = (256 + w - 1) / w;
+    int m = (1 << w) - 1;
+    for (int j = 0; j < nwin; ++j) {
+        Point<F> acc = pt_inf<F>();
+        for (int e = 1; e <= m; ++e) {
+            pt_add(acc, acc, base);
+            table[(size_t)j * m + e - 1] = acc;
+        }
+        for (int d = 0; d < w; ++d) pt_double(base, base);
+    }
+}
+
+template <class F>
+static void pt_mul_table(Point<F> &out, const Point<F> *table,
+                         const uint64_t k[4], int w) {
+    int nwin = (256 + w - 1) / w;
+    int m = (1 << w) - 1;
+    Point<F> acc = pt_inf<F>();
+    for (int j = 0; j < nwin; ++j) {
+        uint64_t digit = 0;
+        for (int b = 0; b < w; ++b) {
+            int bb = j * w + b;
+            if (bb < 256 && ((k[bb / 64] >> (bb % 64)) & 1))
+                digit |= (uint64_t)1 << b;
+        }
+        if (digit)
+            pt_add(acc, acc, table[(size_t)j * m + digit - 1]);
+    }
+    out = acc;
+}
+
 template <class F>
 static void pt_affine(F &ax, F &ay, const Point<F> &p) {
     using Ops = FieldOps<F>;
@@ -1019,16 +1093,58 @@ void bls_g1_mul(uint8_t *out, const uint8_t *a, const uint8_t *scalar) {
 
 void bls_g1_multiexp(uint8_t *out, const uint8_t *pts,
                      const uint8_t *scalars, int n) {
-    Point<Fq> acc = pt_inf<Fq>();
+    std::vector<Point<Fq>> ps(n);
+    std::vector<std::array<uint64_t, 4>> ks(n);
     for (int i = 0; i < n; i++) {
-        Point<Fq> p, t;
-        uint64_t k[4];
-        g1_load(p, pts + (size_t)i * 97);
-        load_scalar(k, scalars + (size_t)i * 32);
-        pt_mul(t, p, k);
-        pt_add(acc, acc, t);
+        g1_load(ps[i], pts + (size_t)i * 97);
+        load_scalar(ks[i].data(), scalars + (size_t)i * 32);
     }
+    Point<Fq> acc;
+    pt_multiexp(acc, ps.data(),
+                reinterpret_cast<const uint64_t(*)[4]>(ks.data()), n);
     g1_store(out, acc);
+}
+
+// Fixed-base tables: opaque in-memory blobs of raw Jacobian points.
+// bls_g1_table_size(w) bytes; produce with precompute, use with mul_table.
+int bls_g1_table_size(int w) {
+    return (int)(((256 + w - 1) / w) * (((size_t)1 << w) - 1) *
+                 sizeof(Point<Fq>));
+}
+
+void bls_g1_precompute(uint8_t *table, const uint8_t *pt, int w) {
+    Point<Fq> p;
+    g1_load(p, pt);
+    pt_precompute(reinterpret_cast<Point<Fq> *>(table), p, w);
+}
+
+void bls_g1_mul_table(uint8_t *out, const uint8_t *table,
+                      const uint8_t *scalar, int w) {
+    uint64_t k[4];
+    load_scalar(k, scalar);
+    Point<Fq> acc;
+    pt_mul_table(acc, reinterpret_cast<const Point<Fq> *>(table), k, w);
+    g1_store(out, acc);
+}
+
+int bls_g2_table_size(int w) {
+    return (int)(((256 + w - 1) / w) * (((size_t)1 << w) - 1) *
+                 sizeof(Point<Fq2>));
+}
+
+void bls_g2_precompute(uint8_t *table, const uint8_t *pt, int w) {
+    Point<Fq2> p;
+    g2_load(p, pt);
+    pt_precompute(reinterpret_cast<Point<Fq2> *>(table), p, w);
+}
+
+void bls_g2_mul_table(uint8_t *out, const uint8_t *table,
+                      const uint8_t *scalar, int w) {
+    uint64_t k[4];
+    load_scalar(k, scalar);
+    Point<Fq2> acc;
+    pt_mul_table(acc, reinterpret_cast<const Point<Fq2> *>(table), k, w);
+    g2_store(out, acc);
 }
 
 void bls_g2_add(uint8_t *out, const uint8_t *a, const uint8_t *b) {
