@@ -54,7 +54,12 @@ def main():
     # compiled program — at the host level faults trigger a separate
     # segment-wise redo (parallel/reconstruct.py::host_robust_redo), which
     # also keeps this benchmark's program small enough to dodge the
-    # platform's sporadic large-program TPU-worker crash
+    # platform's sporadic large-program TPU-worker crash.
+    # In this detect-only mode the factory selects the single-kernel
+    # direct-composition open (ops/fused_open_direct.py): bit-identical
+    # secrets and accept/reject to the three-kernel pipeline (asserted in
+    # tests/test_fused_open.py), ~4x its throughput (HBM traffic collapses
+    # to shares-in + replicated-secrets-out).
     run = _sim_reconstruct_packed_jit(n, t, False, True, fallback=False)
 
     @jax.jit

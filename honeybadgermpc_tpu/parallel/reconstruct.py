@@ -172,9 +172,21 @@ def _sim_reconstruct_packed_jit(n: int, t: int, use_omega_powers: bool,
 
     fallback=False: validation error counts are still returned but the
     in-graph Gao fallback is NOT compiled in — the caller host-checks nerr
-    and reruns robustly (see sim_batch_reconstruct)."""
+    and reruns robustly (see sim_batch_reconstruct). In this detect-only
+    mode the single-kernel direct-composition open (bit-identical secrets
+    and accept/reject, ops/fused_open_direct.py) replaces the three-kernel
+    pipeline when its VMEM budget fits."""
+    from ..ops.fused_open_direct import direct_fits
     enc = Encoding(n, use_omega_powers=use_omega_powers)
     points = tuple(int(x) % mont.P for x in enc.points)
+
+    if robust and not fallback and direct_fits(n, t + 1):
+        @jax.jit
+        def run_direct(packed):
+            from ..ops.fused_open_direct import sim_open_direct_packed
+            return sim_open_direct_packed(packed, n, t, points)
+
+        return run_direct
 
     @jax.jit
     def run_packed(packed):
@@ -208,6 +220,18 @@ def _sim_reconstruct_jit(n: int, t: int, use_omega_powers: bool, robust: bool,
     if use_fused:
         enc = Encoding(n, use_omega_powers=use_omega_powers)
         points = tuple(int(x) % mont.P for x in enc.points)
+        from ..ops.fused_open_direct import direct_fits
+
+        if robust and not fallback and direct_fits(n, t + 1):
+            @jax.jit
+            def run_direct(limbs):
+                from ..ops.fused_open import pack_limbs
+                from ..ops.fused_open_direct import sim_open_direct_packed
+                return sim_open_direct_packed(pack_limbs(limbs), n, t,
+                                              points)
+
+            run_direct.packed = True
+            return run_direct
 
         @jax.jit
         def run_fused(limbs):

@@ -83,3 +83,55 @@ def test_pack_unpack_roundtrip():
     limbs = FpArray.from_ints(vals).limbs
     rt = unpack_limbs(pack_limbs(limbs))
     assert np.array_equal(np.asarray(rt), np.asarray(limbs))
+
+
+@pytest.mark.parametrize("n,t", [(8, 2), (16, 5)])
+def test_direct_open_bitexact(n, t):
+    """The single-kernel direct-composition open (ops/fused_open_direct.py)
+    must produce bit-identical secrets to the three-kernel pipeline and
+    report zero mismatches on honest shares."""
+    from honeybadgermpc_tpu.ops.fused_open_direct import (
+        direct_fits, sim_open_direct_packed)
+    assert direct_fits(n, t + 1)
+    rng = random.Random(40 + n)
+    B = 3 * (t + 1)
+    secrets, shares, points = _deal(rng, n, t, B)
+    packed = jax.jit(pack_limbs)(shares.limbs)
+    s_fused, e_fused = jax.jit(
+        lambda p: __import__(
+            "honeybadgermpc_tpu.ops.fused_open", fromlist=["x"]
+        ).sim_open_fused_packed(p, n, t, points, robust=False))(packed)
+    s_direct, e_direct = jax.jit(
+        lambda p: sim_open_direct_packed(p, n, t, points))(packed)
+    assert np.asarray(e_fused).sum() == 0
+    assert np.asarray(e_direct).sum() == 0
+    assert np.array_equal(np.asarray(s_fused), np.asarray(s_direct))
+    got = FpArray(unpack_limbs(s_direct)).to_ints()
+    for j in range(n):
+        assert list(got[j]) == secrets
+
+
+def test_direct_open_detects_faults():
+    """Accept/reject parity: any share off the degree-t polynomial trips
+    both the faithful validation and the direct predicate."""
+    from honeybadgermpc_tpu.ops.fused_open import sim_open_fused_packed
+    from honeybadgermpc_tpu.ops.fused_open_direct import \
+        sim_open_direct_packed
+    n, t = 8, 2
+    rng = random.Random(77)
+    B = 2 * (t + 1)
+    _, shares, points = _deal(rng, n, t, B)
+    packed = np.asarray(jax.device_get(jax.jit(pack_limbs)(shares.limbs)))
+    for party, word, b in [(n - 1, 0, 3), (4, 7, 0), (0, 3, 5)]:
+        bad = packed.copy()
+        bad[word, party, b] ^= 0x2482
+        _, e_fused = jax.jit(
+            lambda p: sim_open_fused_packed(p, n, t, points,
+                                            robust=False))(bad)
+        _, e_direct = jax.jit(
+            lambda p: sim_open_direct_packed(p, n, t, points))(bad)
+        if party >= t + 1:
+            # direct charges the offending source party
+            assert int(np.asarray(e_direct)[party]) > 0
+        assert (np.asarray(e_fused).sum() > 0) == \
+            (np.asarray(e_direct).sum() > 0) == True  # noqa: E712
