@@ -225,12 +225,19 @@ def _direct_call(n: int, k: int, cpad: int, points: tuple):
     return run, nv
 
 
-def sim_open_direct_packed(packed, n: int, t: int, points: tuple):
+def sim_open_direct_packed(packed, n: int, t: int, points: tuple,
+                           robust: bool = False):
     """Direct-composition open on PACKED shares [PL, n, B] (B % (t+1) == 0)
     -> (secrets PACKED [PL, n, B] — the per-party replicated view — and
     nerr [n] int32, mismatches charged to the offending SOURCE party;
-    parties 0..t report 0). Detect-only: callers rerun through
-    parallel/reconstruct.py::host_robust_redo when sum(nerr) > 0."""
+    parties 0..t report 0).
+
+    robust=False (detect-only): callers rerun through
+    parallel/reconstruct.py::host_robust_redo when sum(nerr) > 0.
+    robust=True: one lax.cond falls back to the generic two-round robust
+    program (Gao error correction) when any mismatch is seen — for opens
+    living inside an enclosing jit (e.g. the MiMC round scan) where a
+    host-level two-phase redo is impossible."""
     k = t + 1
     B = packed.shape[-1]
     assert B % k == 0, (B, k)
@@ -249,4 +256,22 @@ def sim_open_direct_packed(packed, n: int, t: int, points: tuple):
         [jnp.zeros((k,), jnp.int32), jnp.sum(errs[:nv], axis=-1)])
     secrets = jnp.broadcast_to(
         sec[:, None, :, :C], (PL, n, k, C)).reshape(PL, n, B)
+
+    if robust:
+        from .fused_open import pack_limbs, unpack_limbs
+
+        def fast(_):
+            return secrets, nerr
+
+        def slow(_):
+            from ..parallel.mesh import SimBackend
+            from ..parallel.reconstruct import batch_reconstruct
+            from .fparray import FpArray
+            sec2, nerr2 = batch_reconstruct(
+                SimBackend(n), FpArray(unpack_limbs(packed)), n, t,
+                robust=True)
+            return pack_limbs(sec2.limbs), nerr2
+
+        secrets, nerr = jax.lax.cond(
+            jnp.sum(nerr) == 0, fast, slow, operand=None)
     return secrets, nerr

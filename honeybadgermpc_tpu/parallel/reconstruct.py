@@ -222,13 +222,17 @@ def _sim_reconstruct_jit(n: int, t: int, use_omega_powers: bool, robust: bool,
         points = tuple(int(x) % mont.P for x in enc.points)
         from ..ops.fused_open_direct import direct_fits
 
-        if robust and not fallback and direct_fits(n, t + 1):
+        if direct_fits(n, t + 1):
+            # non-robust and detect-only modes run the bare direct kernel
+            # (mismatches still counted in-dot); robust-with-fallback mode
+            # (opens under an enclosing jit) adds the in-graph lax.cond
             @jax.jit
             def run_direct(limbs):
                 from ..ops.fused_open import pack_limbs
                 from ..ops.fused_open_direct import sim_open_direct_packed
                 return sim_open_direct_packed(pack_limbs(limbs), n, t,
-                                              points)
+                                              points,
+                                              robust=robust and fallback)
 
             run_direct.packed = True
             return run_direct

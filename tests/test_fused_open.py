@@ -135,3 +135,24 @@ def test_direct_open_detects_faults():
             assert int(np.asarray(e_direct)[party]) > 0
         assert (np.asarray(e_fused).sum() > 0) == \
             (np.asarray(e_direct).sum() > 0) == True  # noqa: E712
+
+
+def test_direct_open_robust_fallback():
+    """robust=True direct open: faults trip the in-graph lax.cond and the
+    generic Gao path corrects them (for opens under an enclosing jit)."""
+    from honeybadgermpc_tpu.ops.fused_open_direct import \
+        sim_open_direct_packed
+    n, t = 8, 2
+    rng = random.Random(19)
+    B = 2 * (t + 1)
+    secrets, shares, points = _deal(rng, n, t, B)
+    faulty = inject_share_faults(shares, SimBackend(n).my_ids(), [5],
+                                 jax.random.PRNGKey(5))
+    packed = jax.jit(pack_limbs)(faulty.limbs)
+    sec, nerr = jax.jit(
+        lambda p: sim_open_direct_packed(p, n, t, points, robust=True))(
+            packed)
+    assert int(np.asarray(nerr).sum()) > 0
+    got = FpArray(unpack_limbs(sec)).to_ints()
+    for j in range(n):
+        assert list(got[j]) == secrets
