@@ -16,7 +16,7 @@ the call signatures here are stable against that swap.)
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -219,11 +219,16 @@ def _decode_validate_np(points: tuple, k: int, want_coeffs: bool):
 def decode_validate_matmul(points, k: int, ys: FpArray,
                            want_coeffs: bool) -> FpArray:
     """ys[..., k] (shares of parties 0..k-1) -> fused decode+validate
-    output (see _decode_validate_np)."""
+    output (see _decode_validate_np). Jitted end-to-end."""
+    return _decode_validate_matmul_jit(
+        tuple(int(x) % P for x in points), k, want_coeffs, ys)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _decode_validate_matmul_jit(points: tuple, k: int, want_coeffs: bool,
+                                ys: FpArray) -> FpArray:
     from .devcache import dev_const
-    w = FpArray(dev_const(
-        _decode_validate_np(tuple(int(x) % P for x in points), k,
-                            want_coeffs)))
+    w = FpArray(dev_const(_decode_validate_np(points, k, want_coeffs)))
     return fp_matmul(ys, w)
 
 
@@ -232,11 +237,9 @@ def lagrange_matrix(xs: tuple) -> FpArray:
     return FpArray(dev_const(_lagrange_matrix_np(xs)))
 
 
-def vandermonde_batch_evaluate(xs, coeffs: FpArray) -> FpArray:
-    """Evaluate polynomials (coeffs[..., k], k = degree+1) at points xs.
-    Matches hbmpc_ntl_helpers.pyx:199 vandermonde_batch_evaluate."""
+@partial(jax.jit, static_argnums=0)
+def _vandermonde_batch_evaluate_jit(xs_t: tuple, coeffs: FpArray) -> FpArray:
     k = coeffs.shape[-1]
-    xs_t = tuple(int(x) % P for x in xs)
     batch = _numel(coeffs.shape[:-1])
     if _band_path_ok(k, len(xs_t), batch):
         from .band_matmul import band_matmul_limbs
@@ -248,12 +251,30 @@ def vandermonde_batch_evaluate(xs, coeffs: FpArray) -> FpArray:
     return fp_matmul(coeffs, v)
 
 
+def vandermonde_batch_evaluate(xs, coeffs: FpArray) -> FpArray:
+    """Evaluate polynomials (coeffs[..., k], k = degree+1) at points xs.
+    Matches hbmpc_ntl_helpers.pyx:199 vandermonde_batch_evaluate.
+
+    Jitted end-to-end: eager op dispatch costs 15-200 ms per op on the
+    remote-tunneled TPU backend, so every public kernel entry point traces
+    into ONE compiled program (x-set is a static trace constant)."""
+    assert coeffs.shape[-1] <= len(xs) or True
+    return _vandermonde_batch_evaluate_jit(
+        tuple(int(x) % P for x in xs), coeffs)
+
+
 def vandermonde_batch_interpolate(xs, ys: FpArray) -> FpArray:
     """Coefficients (degree < len(xs)) through (xs[i], ys[..., i]).
-    Matches hbmpc_ntl_helpers.pyx:139 vandermonde_batch_interpolate."""
+    Matches hbmpc_ntl_helpers.pyx:139 vandermonde_batch_interpolate.
+    Jitted end-to-end (see vandermonde_batch_evaluate)."""
     xs_t = tuple(int(x) % P for x in xs)
+    assert ys.shape[-1] == len(xs_t)
+    return _vandermonde_batch_interpolate_jit(xs_t, ys)
+
+
+@partial(jax.jit, static_argnums=0)
+def _vandermonde_batch_interpolate_jit(xs_t: tuple, ys: FpArray) -> FpArray:
     k = len(xs_t)
-    assert ys.shape[-1] == k
     batch = _numel(ys.shape[:-1])
     if _band_path_ok(k, k, batch):
         from .band_matmul import band_matmul_limbs
@@ -268,9 +289,15 @@ def vandermonde_batch_interpolate(xs, ys: FpArray) -> FpArray:
 
 def lagrange_evaluate_at(xs, ys: FpArray, x0: int = 0) -> FpArray:
     """Evaluate the interpolant at a single point x0 via a precomputed
-    Lagrange-coefficient vector (one fused dot): out[...] for ys[..., k]."""
-    xs = tuple(int(x) % P for x in xs)
-    lam = _lagrange_coeffs_at(xs, int(x0) % P)   # FpArray[k, 1]
+    Lagrange-coefficient vector (one fused dot): out[...] for ys[..., k].
+    Jitted end-to-end (see vandermonde_batch_evaluate)."""
+    return _lagrange_evaluate_at_jit(
+        tuple(int(x) % P for x in xs), int(x0) % P, ys)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _lagrange_evaluate_at_jit(xs: tuple, x0: int, ys: FpArray) -> FpArray:
+    lam = _lagrange_coeffs_at(xs, x0)            # FpArray[k, 1]
     out = fp_matmul(ys, lam)                     # [..., 1]
     return FpArray(out.limbs[..., 0])
 

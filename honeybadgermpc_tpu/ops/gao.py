@@ -23,7 +23,7 @@ among the evaluation points, matching GaoRobustDecoder's error reporting
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -44,22 +44,36 @@ def _poly_degree(limbs):
 
 
 def _gather_coeff(limbs, idx):
-    """limbs[L, ..., M] at per-batch coefficient index idx[...] (clipped)."""
-    idxc = jnp.clip(idx, 0)[..., None]
-    gi = jnp.broadcast_to(idxc[None, ...], (L,) + idxc.shape)
-    return jnp.take_along_axis(limbs, gi, axis=-1)[..., 0]
+    """limbs[L, ..., M] at per-batch coefficient index idx[...] (clipped).
+
+    One-hot masked reduction instead of take_along_axis: per-element
+    gathers on the minor (lane) axis scalarize on TPU (measured ~500 ms
+    per EEA step at M=5); the select+sum lowers to pure VPU ops."""
+    m = limbs.shape[-1]
+    ar = jnp.arange(m, dtype=jnp.int32)
+    hot = ar == jnp.clip(idx, 0)[..., None]      # [..., M]
+    picked = jnp.where(hot[None, ...], limbs, jnp.zeros_like(limbs))
+    return jnp.sum(picked, axis=-1, dtype=limbs.dtype)
 
 
 def _shift_poly(limbs, s):
-    """Multiply by X^s (per-batch traced shift): out[i] = in[i-s]."""
+    """Multiply by X^s (per-batch traced shift): out[i] = in[i-s].
+
+    Log-decomposition of the shift: compose static pad-shifts of 1,2,4,..
+    selected by the bits of s — all lane-aligned slices and selects, no
+    dynamic gather (see _gather_coeff)."""
     m = limbs.shape[-1]
-    ar = jnp.arange(m, dtype=jnp.int32)
-    src = ar - s[..., None]                      # [..., M]
-    valid = src >= 0
-    srcc = jnp.clip(src, 0)
-    gi = jnp.broadcast_to(srcc[None, ...], (L,) + srcc.shape)
-    out = jnp.take_along_axis(limbs, gi, axis=-1)
-    return jnp.where(valid[None, ...], out, jnp.zeros_like(out))
+    out = limbs
+    pad_cfg = [(0, 0)] * (limbs.ndim - 1)
+    for b in range(max(1, (m - 1).bit_length())):
+        sh = 1 << b
+        if sh >= m:
+            shifted = jnp.zeros_like(out)
+        else:
+            shifted = jnp.pad(out[..., :-sh], pad_cfg + [(sh, 0)])
+        bit = ((s >> b) & 1).astype(bool)        # [...]
+        out = jnp.where(bit[None, ..., None], shifted, out)
+    return out
 
 
 def _one_hot_mul(value_limbs, idx, m):
@@ -87,10 +101,16 @@ def gao_robust_decode(enc: Encoding, zs, ys: FpArray, k: int):
     """Decode degree<k message from shares ys[..., m] of parties zs, with up
     to (m-k)//2 wrong shares. Returns (coeffs[..., k], error_mask[..., m],
     ok[...]): error_mask marks provided shares that disagree with the decoded
-    codeword; ok=False where more than (m-k)//2 errors made decoding fail."""
+    codeword; ok=False where more than (m-k)//2 errors made decoding fail.
+    The interpolation AND the EEA kernel trace into one jitted program."""
     zs = tuple(int(z) for z in zs)
+    assert ys.shape[-1] == len(zs) and k <= len(zs)
+    return _gao_decode_jit(enc, zs, k, ys)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _gao_decode_jit(enc: Encoding, zs: tuple, k: int, ys: FpArray):
     m = len(zs)
-    assert ys.shape[-1] == m and k <= m
     xs = tuple(enc.points[z] for z in zs)
     from .devcache import dev_const
     g0 = dev_const(_g0_coeffs(xs))                         # [L, m+1]

@@ -92,9 +92,11 @@ def _n_inv_limbs(n: int):
     return tuple(int(v) for v in int_to_limbs(pow(n, P - 2, P) * R_MOD_P % P))
 
 
+@partial(jax.jit, static_argnums=1)
 def intt(y: FpArray, omega: int) -> FpArray:
     """Inverse transform: coefficients of the unique degree<n polynomial with
-    p(omega^i) = y[..., i]."""
+    p(omega^i) = y[..., i]. Jitted end-to-end (omega static) — eager op
+    dispatch costs 15-200 ms on the remote-tunneled TPU backend."""
     n = y.shape[-1]
     omega_inv = pow(omega, P - 2, P)
     coeffs = ntt(y, omega_inv)
@@ -104,9 +106,11 @@ def intt(y: FpArray, omega: int) -> FpArray:
     return coeffs * n_inv
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
 def fft_evaluate(coeffs: FpArray, omega: int, n: int, k: int | None = None) -> FpArray:
     """Pad coeffs (last axis) to n, NTT, optionally truncate to first k
-    outputs — mirrors the truncated-output fft of rsdecode_impl.h:171-192."""
+    outputs — mirrors the truncated-output fft of rsdecode_impl.h:171-192.
+    Jitted end-to-end (omega/n/k static)."""
     pad = n - coeffs.shape[-1]
     assert pad >= 0
     if pad:
@@ -129,9 +133,11 @@ def fft_interpolate(ys: FpArray, omega: int) -> FpArray:
     return intt(ys, omega)
 
 
+@partial(jax.jit, static_argnums=1)
 def interp_extrap(xs: FpArray, omega: int) -> FpArray:
     """Interpolate on even omega powers, evaluate at all 2n powers
-    (reference polynomial.py:142-158 / pyx interp_extrap). xs last axis n."""
+    (reference polynomial.py:142-158 / pyx interp_extrap). xs last axis n.
+    Jitted end-to-end (omega static)."""
     n = xs.shape[-1]
     coeffs = intt(xs, pow(omega, 2, P))
     return fft_evaluate(coeffs, omega, 2 * n)

@@ -19,7 +19,7 @@ Robust (error-correcting) decode lives in ops/gao.py.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +58,10 @@ class Encoding:
             self.points = list(range(1, n + 1))
 
     # -- encode ------------------------------------------------------------
+    # encode/decode are jitted end-to-end with self/zs static: eager op
+    # dispatch costs 15-200 ms per op on the remote-tunneled TPU backend,
+    # so each public kernel entry must trace into ONE compiled program.
+    @partial(jax.jit, static_argnums=0)
     def encode(self, coeffs: FpArray) -> FpArray:
         """coeffs[..., k] -> shares[..., n] (share j = poly(point_j))."""
         k = coeffs.shape[-1]
@@ -72,6 +76,10 @@ class Encoding:
         tuple of party indices); ys[..., len(zs)]."""
         zs = tuple(int(z) for z in zs)
         assert ys.shape[-1] == len(zs)
+        return self._decode_jit(zs, ys)
+
+    @partial(jax.jit, static_argnums=(0, 1))
+    def _decode_jit(self, zs: tuple, ys: FpArray) -> FpArray:
         if self.use_omega_powers:
             return self._fnt_decode(zs, ys)
         xs = tuple(self.points[z] for z in zs)
@@ -80,7 +88,7 @@ class Encoding:
     def interpolate_at(self, zs, ys: FpArray, x0: int = 0) -> FpArray:
         from .fpmatmul import lagrange_evaluate_at
         xs = [self.points[z] for z in zs]
-        return lagrange_evaluate_at(xs, ys, x0)
+        return lagrange_evaluate_at(xs, ys, x0)   # jitted inside
 
     # -- FNT decode (rsdecode_impl.h:194-265) ------------------------------
     def _fnt_decode(self, zs: tuple, ys: FpArray) -> FpArray:
@@ -178,6 +186,12 @@ def optimistic_check(enc: Encoding, coeffs: FpArray, zs_check, ys_check: FpArray
     (the reference IncrementalDecoder's optimistic validation,
     reed_solomon.py:305-332). Returns bool mask [..., len(zs_check)] of
     AGREEMENT per share."""
+    return _optimistic_check_jit(enc, tuple(int(z) for z in zs_check),
+                                 coeffs, ys_check)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _optimistic_check_jit(enc, zs_check, coeffs, ys_check):
     shares = enc.encode(coeffs)
     sub = shares.take(list(zs_check), axis=shares.ndim - 1)
     return sub.eq(ys_check)
