@@ -40,10 +40,22 @@ def _time(fn, iters=3):
 
 
 def _block(out):
+    """Force completion. block_until_ready returns at ENQUEUE time on the
+    remote-tunneled TPU backend, so fetch one element of one output buffer
+    (device_get waits for the producing computation)."""
     try:
         import jax
-        jax.tree.map(lambda x: getattr(x, "block_until_ready", lambda: x)(),
-                     out)
+
+        def unwrap(x):
+            while hasattr(x, "v"):        # ShareArray -> FpArray
+                x = x.v
+            return x.limbs if hasattr(x, "limbs") else x
+
+        leaves = [unwrap(x) for x in jax.tree.leaves(
+            out, is_leaf=lambda x: hasattr(x, "v") or hasattr(x, "limbs"))]
+        leaves = [x for x in leaves if hasattr(x, "ravel")]
+        if leaves:
+            jax.device_get(leaves[-1].ravel()[:1])
     except Exception:
         pass
 
@@ -139,30 +151,46 @@ def bench_mimc():
               batch / dt, "blocks/s")
 
 
+def _jubjub_add_double(c, px, py):
+    from honeybadgermpc_tpu.models.jubjub import SharedPoint
+    pt = SharedPoint(c, c.ShareArray(px.v, px.t), c.ShareArray(py.v, py.t))
+    out = pt.add(pt.double())
+    return out.xs, out.ys
+
+
+def _jubjub_mul16(c, px, py):
+    from honeybadgermpc_tpu.models.jubjub import SharedPoint
+    pt = SharedPoint(c, c.ShareArray(px.v, px.t), c.ShareArray(py.v, py.t))
+    out = pt.mul(0xFFFF)
+    return out.xs, out.ys
+
+
 def bench_jubjub():
+    import jax
+
     from honeybadgermpc_tpu.elliptic_curve import Point
     from honeybadgermpc_tpu.models.jubjub import SharedPoint
+    from honeybadgermpc_tpu.ops.fparray import FpArray
     from honeybadgermpc_tpu.runtime.context import MpcContext
+    from honeybadgermpc_tpu.runtime.fused import run_fused
     from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
     n, t = 4, 1
     pre = PreProcessedElements(n, t, seed=0)
-    pre.generate_triples(1 << 14)
-    pre.generate_rands(1 << 12)
     ctx = MpcContext(n, t, preproc=pre)
     p = Point(5,
               6846412461894745224441235558443359243034138132682534265960483512729196124138)
     B = 64
-    sp = SharedPoint.from_point(ctx, p, (B,))
-    t0 = time.perf_counter()
-    sp2 = sp.add(sp.double())
-    _block(sp2.xs.v.limbs)
-    dt = time.perf_counter() - t0
-    _emit("jubjub_add_double", {"batch": B}, 2 * B / dt, "point-ops/s")
-    t0 = time.perf_counter()
-    spm = sp.mul(0xFFFF)
-    _block(spm.xs.v.limbs)
-    dt = time.perf_counter() - t0
-    _emit("jubjub_scalar_mul16", {"batch": B}, B / dt, "muls/s")
+    px = ctx.ShareArray(pre._share_values(
+        FpArray.from_ints([int(p.x)] * B)))
+    py = ctx.ShareArray(pre._share_values(
+        FpArray.from_ints([int(p.y)] * B)))
+    # each fused call consumes preprocessing; auto_deal covers the demand
+    for prog, name, ops in [
+            (_jubjub_add_double, "jubjub_add_double", 2 * B),
+            (_jubjub_mul16, "jubjub_scalar_mul16", B)]:
+        dt = _time(lambda: run_fused(ctx, prog, px, py, auto_deal=True))
+        _emit(name, {"batch": B}, ops / dt, "point-ops/s"
+              if name == "jubjub_add_double" else "muls/s")
 
 
 def bench_refinement():

@@ -118,6 +118,25 @@ def _gao_decode_jit(enc: Encoding, zs: tuple, k: int, ys: FpArray):
     return _gao_kernel(m, k, xs)(g1.limbs, g0)
 
 
+def gao_decode_points(xs, ys: FpArray, k: int):
+    """gao_robust_decode over ARBITRARY evaluation points xs (no Encoding
+    domain) — the pyx gao_interpolate:389 entry, where callers pass raw x
+    coordinates. Same returns as gao_robust_decode."""
+    xs = tuple(int(x) % P for x in xs)
+    assert ys.shape[-1] == len(xs) and k <= len(xs)
+    return _gao_points_jit(xs, k, ys)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _gao_points_jit(xs: tuple, k: int, ys: FpArray):
+    from .devcache import dev_const
+    from .fpmatmul import vandermonde_batch_interpolate
+    m = len(xs)
+    g0 = dev_const(_g0_coeffs(xs))                         # [L, m+1]
+    g1 = vandermonde_batch_interpolate(xs, ys)             # [..., m]
+    return _gao_kernel(m, k, xs)(g1.limbs, g0)
+
+
 @lru_cache(maxsize=None)
 def _gao_kernel(m: int, k: int, xs: tuple):
     M = m + 1

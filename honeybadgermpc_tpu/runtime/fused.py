@@ -167,12 +167,15 @@ def _as_share(ctx, a):
 _CACHE: dict = {}
 
 
-def run_fused(ctx: MpcContext, prog, *args):
+def run_fused(ctx: MpcContext, prog, *args, auto_deal: bool = False):
     """Run ``prog(ctx2, *args)`` as one jitted device program.
 
     ctx must be a SimBackend context with a PreProcessedElements dealer;
     args are ShareArrays (or dealt [n, B] FpArrays). The needed
-    preprocessing is consumed from ctx.preproc exactly once per call.
+    preprocessing is consumed from ctx.preproc exactly once per call;
+    with ``auto_deal`` the dealer generates any deficit first (test/bench
+    convenience — matches the reference test fixture's generate-on-demand,
+    tests/fixtures.py:144-200).
     Caching is per (prog, arg shapes/degrees, context params) — reuse the
     same function object across calls (avoid fresh lambdas)."""
     assert ctx.sim, "run_fused requires the SimBackend (sim) context"
@@ -188,6 +191,10 @@ def run_fused(ctx: MpcContext, prog, *args):
     pools = {}
     for kind, total in counts.items():
         getter, _parts = _KINDS[kind]
+        if auto_deal:
+            have = ctx.preproc._pool(kind).remaining()
+            if have < total:
+                getattr(ctx.preproc, "generate_" + kind)(total - have)
         got = getattr(ctx.preproc, getter)(total)
         pools[kind] = got if isinstance(got, tuple) else (got,)
     pool_limbs = {k: tuple(a.limbs for a in v) for k, v in pools.items()}
