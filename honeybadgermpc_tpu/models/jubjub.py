@@ -137,6 +137,57 @@ class SharedIdeal:
         return self
 
 
+def _sel_share(c, bit, a: ShareArray, b: ShareArray) -> ShareArray:
+    """bit ? a : b elementwise on share tensors (public traced bit)."""
+    import jax.numpy as jnp
+
+    from ..ops import montgomery as mont
+    mask = jnp.broadcast_to(bit != 0, a.v.limbs.shape[1:])
+    return c.ShareArray(FpArray(mont.select(mask, a.v.limbs, b.v.limbs)),
+                        a.t)
+
+
+def _ladder_step(c, carry, bit):
+    """One uniform Montgomery-ladder step (jubjub.py:144-171 semantics,
+    branchless): added = P+C; D = double(bit ? C : P);
+    P' = bit ? added : D; C' = bit ? D : added."""
+    px, py, cx, cy = carry
+    product = SharedPoint(c, px, py)
+    current = SharedPoint(c, cx, cy)
+    added = product.add(current)
+    dbl = SharedPoint(c, _sel_share(c, bit, cx, px),
+                      _sel_share(c, bit, cy, py)).double()
+    npx = _sel_share(c, bit, added.xs, dbl.xs)
+    npy = _sel_share(c, bit, added.ys, dbl.ys)
+    ncx = _sel_share(c, bit, dbl.xs, added.xs)
+    ncy = _sel_share(c, bit, dbl.ys, added.ys)
+    return npx, npy, ncx, ncy
+
+
+def jubjub_mul_jit(ctx: MpcContext, pt: SharedPoint, scalar: int,
+                   auto_deal: bool = False) -> SharedPoint:
+    """Public-scalar point multiply as ONE jitted lax.scan ladder — the
+    TPU-native shape of SharedPoint.montgomery_mul (jubjub.py:144-171):
+    program size is one ladder step, preprocessing rides the scan axis
+    (runtime/fused.py run_fused_scan). Sim backend only; bit-identical to
+    SharedPoint.mul."""
+    import jax.numpy as jnp
+
+    from ..runtime.fused import run_fused_scan
+    assert isinstance(scalar, int)
+    if scalar < 0:
+        return jubjub_mul_jit(ctx, pt.neg(), -scalar, auto_deal)
+    nbits = max(1, scalar.bit_length())
+    bits = jnp.array([(scalar >> i) & 1 for i in reversed(range(nbits))],
+                     jnp.uint32)
+    elem_shape = pt.xs.v.shape[1:] if ctx.sim else pt.xs.v.shape
+    ident = SharedPoint.from_point(ctx, Point(0, 1, pt.curve), elem_shape)
+    out = run_fused_scan(
+        ctx, _ladder_step, (ident.xs, ident.ys, pt.xs, pt.ys), nbits,
+        per_step=bits, auto_deal=auto_deal)
+    return SharedPoint(ctx, out[0], out[1], pt.curve)
+
+
 def share_mul(ctx: MpcContext, bits: ShareArray, p: Point) -> SharedPoint:
     """[x]P from the bitwise-shared scalar (LSB first along the LAST axis)
     and a public point (jubjub.py:258-294). The K terms fold in log2(K)

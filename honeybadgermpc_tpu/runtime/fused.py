@@ -155,6 +155,32 @@ def _rebuild_result(ctx, leaves, spec):
     raise AssertionError(spec)
 
 
+def fused_demand(ctx: MpcContext, prog, *args) -> dict:
+    """Per-call preprocessing demand (kind -> count) of a fused program —
+    for pre-dealing pools outside a measured region. Builds (and caches)
+    the program if needed."""
+    shares = [_as_share(ctx, a) for a in args]
+    key = (prog, ctx.n, ctx.t, ctx.robust, ctx.use_omega_powers,
+           tuple((s.v.limbs.shape, s.t) for s in shares))
+    hit = _CACHE.get(key)
+    if hit is None:
+        hit = _build(ctx, prog, shares)
+        _CACHE[key] = hit
+    return dict(hit[1])
+
+
+def _deal_deficit(ctx, kind: str, total: int):
+    """Generate the pool deficit, rounded UP to a power of two: the dealer
+    kernel compiles per batch size, so padded generation keeps one cached
+    compile instead of a fresh multi-second compile per odd deficit."""
+    have = ctx.preproc._pool(kind).remaining()
+    if have >= total:
+        return
+    need = total - have
+    chunk = 1 << max(need - 1, 1).bit_length()
+    getattr(ctx.preproc, "generate_" + kind)(chunk)
+
+
 def _as_share(ctx, a):
     if isinstance(a, ShareArray):
         return a
@@ -192,14 +218,122 @@ def run_fused(ctx: MpcContext, prog, *args, auto_deal: bool = False):
     for kind, total in counts.items():
         getter, _parts = _KINDS[kind]
         if auto_deal:
-            have = ctx.preproc._pool(kind).remaining()
-            if have < total:
-                getattr(ctx.preproc, "generate_" + kind)(total - have)
+            _deal_deficit(ctx, kind, total)
         got = getattr(ctx.preproc, getter)(total)
         pools[kind] = got if isinstance(got, tuple) else (got,)
     pool_limbs = {k: tuple(a.limbs for a in v) for k, v in pools.items()}
     leaves = g(tuple(s.v.limbs for s in shares), pool_limbs)
     return _rebuild_result(ctx, list(leaves), g.out_spec)
+
+
+def run_fused_scan(ctx: MpcContext, step, carry, steps: int, per_step=None,
+                   auto_deal: bool = False):
+    """Run ``steps`` iterations of ``step(ctx2, carry, x_i) -> carry`` as
+    ONE jitted ``lax.scan`` device program.
+
+    The TPU-native shape for round-structured protocols (MiMC's 161
+    rounds, a Jubjub scalar ladder, butterfly rounds): the step body is
+    traced once, per-step preprocessing rides the scan axis, so program
+    size is O(step) instead of O(steps * step) — which keeps giant
+    programs inside the compile helper's memory budget.
+
+    carry: tuple of ShareArrays (or dealt FpArrays) — shapes must be
+    invariant under ``step``. per_step: optional pytree of jnp arrays with
+    leading axis ``steps``, delivered per iteration (public round
+    constants, ladder bits, ...)."""
+    assert ctx.sim, "run_fused_scan requires the SimBackend (sim) context"
+    import jax.numpy as jnp
+
+    carry = tuple(_as_share(ctx, a) for a in carry)
+    ps_leaves = jax.tree.leaves(per_step) if per_step is not None else []
+    assert all(l.shape[0] == steps for l in ps_leaves), \
+        "per_step leading axis must equal steps"
+    key = ("scan", step, ctx.n, ctx.t, ctx.robust, ctx.use_omega_powers,
+           steps, tuple((s.v.limbs.shape, s.t) for s in carry),
+           tuple((tuple(l.shape), str(l.dtype)) for l in ps_leaves))
+    hit = _CACHE.get(key)
+    if hit is None:
+        hit = _build_scan(ctx, step, carry, steps, per_step)
+        _CACHE[key] = hit
+    g, per_step_counts = hit
+
+    pools = {}
+    for kind, c in per_step_counts.items():
+        total = c * steps
+        getter, _parts = _KINDS[kind]
+        if auto_deal:
+            _deal_deficit(ctx, kind, total)
+        got = getattr(ctx.preproc, getter)(total)
+        parts = got if isinstance(got, tuple) else (got,)
+        # [L, n, steps*c, ...] -> [steps, L, n, c, ...] (scan axis leading)
+        moved = []
+        for a in parts:
+            lm = a.limbs
+            lead, rest = lm.shape[:2], lm.shape[3:]
+            lm = lm.reshape(lead + (steps, c) + rest)
+            moved.append(jnp.moveaxis(lm, 2, 0))
+        pools[kind] = tuple(moved)
+    leaves = g(tuple(s.v.limbs for s in carry), pools,
+               per_step if per_step is not None else ())
+    return _rebuild_result(ctx, list(leaves), g.out_spec)
+
+
+def _build_scan(ctx, step, carry, steps, per_step):
+    import jax.numpy as jnp
+
+    n, t = ctx.n, ctx.t
+    carry_ts = tuple(s.t for s in carry)
+
+    # -- counting pass over ONE step (abstract eval) -------------------------
+    counter = _CountingPreproc(n)
+    ps0 = jax.tree.map(lambda l: l[0], per_step) \
+        if per_step is not None else ()
+
+    def _count_run(carry_limbs, x0):
+        ctx2 = MpcContext(n, t, preproc=counter,
+                          use_omega_powers=ctx.use_omega_powers,
+                          robust=ctx.robust)
+        args2 = tuple(ctx2.ShareArray(FpArray(l), tt)
+                      for l, tt in zip(carry_limbs, carry_ts))
+        out = step(ctx2, args2, x0)
+        return tuple(s.v.limbs for s in out)
+
+    out_shapes = jax.eval_shape(_count_run,
+                                tuple(s.v.limbs for s in carry), ps0)
+    counts = dict(counter.counts)
+    in_shapes = tuple(s.v.limbs.shape for s in carry)
+    assert tuple(o.shape for o in out_shapes) == in_shapes, \
+        f"scan carry shape changed: {in_shapes} -> {out_shapes}"
+
+    spec_cell = {}
+
+    @jax.jit
+    def g(carry_limbs, pools, per_step_xs):
+        def body(carry_l, xs):
+            pool_i, x_i = xs
+            tape = _TapePreproc(
+                {k: tuple(FpArray(l) for l in v) for k, v in pool_i.items()})
+            ctx2 = MpcContext(n, t, preproc=tape,
+                              use_omega_powers=ctx.use_omega_powers,
+                              robust=ctx.robust)
+            args2 = tuple(ctx2.ShareArray(FpArray(l), tt)
+                          for l, tt in zip(carry_l, carry_ts))
+            out = step(ctx2, args2, x_i)
+            leaves, spec = _flatten_result(tuple(out))
+            spec_cell["spec"] = spec
+            return tuple(leaves), None
+
+        out, _ = jax.lax.scan(body, carry_limbs, (pools, per_step_xs),
+                              length=steps)
+        return out
+
+    class _G:
+        def __call__(self, carry_limbs, pools, per_step_xs):
+            out = g(carry_limbs, pools, per_step_xs)
+            self.out_spec = spec_cell["spec"]
+            return out
+
+    return _G(), counts
 
 
 def _build(ctx, prog, shares):

@@ -83,6 +83,34 @@ def test_fused_jubjub_double(ctx):
     assert (gx, gy) == (int(want.x), int(want.y))
 
 
+def _sq_chain_step(c, carry, ctr):
+    import jax.numpy as jnp
+    (x,) = carry
+    x2 = x * x
+    return (x2 + FpArray(jnp.broadcast_to(ctr[:, None],
+                                          ctr.shape + (1,))),)
+
+
+def test_fused_scan_squaring_chain(ctx, rng):
+    """run_fused_scan: per-step preprocessing rides the scan axis; result
+    bit-exact vs the int oracle."""
+    import jax.numpy as jnp
+
+    from honeybadgermpc_tpu.runtime.fused import run_fused_scan
+    STEPS = 5
+    xs0 = [rng.randrange(P) for _ in range(B)]
+    x = ctx.ShareArray(_deal(ctx.preproc, xs0))
+    ctrs = FpArray.from_ints(list(range(1, STEPS + 1)))
+    per_step = jnp.moveaxis(ctrs.limbs, -1, 0)           # [STEPS, L]
+    out, = run_fused_scan(ctx, _sq_chain_step, (x,), STEPS,
+                          per_step=per_step, auto_deal=True)
+    got = [int(v) for v in out.open().to_ints()[0]]
+    want = list(xs0)
+    for c in range(1, STEPS + 1):
+        want = [(v * v + c) % P for v in want]
+    assert got == want
+
+
 def test_fused_cache_reuse(ctx, rng):
     # second call with same shapes must not re-trace (cache hit) and must
     # consume fresh preprocessing
