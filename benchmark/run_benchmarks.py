@@ -313,6 +313,44 @@ def bench_hbavss():
         _emit("hbavss_light_deal", {"t": t, "n": n}, 1 / dt, "avss/s")
 
 
+def bench_hbavss_batch():
+    """HBAVSS batch deal+receive, k secrets per instance (reference
+    benchmark/test_benchmark_hbavss.py batch grid)."""
+    import asyncio
+    import random as _r
+
+    from honeybadgermpc_tpu.crypto.poly_commit_const import gen_pc_const_crs
+    from honeybadgermpc_tpu.elliptic_curve import Subgroup
+    from honeybadgermpc_tpu.protocols.hbavss import (HbAvssBatch,
+                                                     get_avss_params)
+    from honeybadgermpc_tpu.protocols.router import SimpleRouter
+
+    rng = _r.Random(2)
+    for t, k in [(1, 16), (2, 16)]:
+        n = 3 * t + 1
+        g, h, pks, sks = get_avss_params(n, t)
+        crs = gen_pc_const_crs(t, g=g, h=h, seed=7)
+        values = [rng.randrange(Subgroup.BLS12_381) for _ in range(k)]
+
+        async def run():
+            router = SimpleRouter(n)
+            instances = [HbAvssBatch(pks, sks[i], crs, n, t, i,
+                                     router.sends[i], router.recvs[i])
+                         for i in range(n)]
+            outs = await asyncio.gather(
+                *[instances[i].avss(0, values=values if i == 0 else None,
+                                    dealer_id=0) for i in range(n)])
+            for inst in instances:
+                inst.kill()
+            return outs
+
+        t0 = time.perf_counter()
+        asyncio.run(run())
+        dt = time.perf_counter() - t0
+        _emit("hbavss_batch_deal", {"t": t, "n": n, "k": k}, k / dt,
+              "secrets/s")
+
+
 ALL = {
     "batch_opening": bench_batch_opening,
     "poly_interpolate": bench_poly_interpolate,
@@ -324,6 +362,7 @@ ALL = {
     "preprocessing": bench_preprocessing,
     "rbc": bench_rbc,
     "hbavss": bench_hbavss,
+    "hbavss_batch": bench_hbavss_batch,
     "triple_generation": bench_triple_generation,
 }
 

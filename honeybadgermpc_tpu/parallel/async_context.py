@@ -79,6 +79,10 @@ class AsyncMpc:
         self._open_buffers = defaultdict(lambda: defaultdict(dict))
         self._recv_task = None
         self._signal = asyncio.Event()
+        # parties whose shares decoded as ERRORS: permanently excluded from
+        # later opens (the reference IncrementalDecoder's confirmed-error
+        # tracking, reed_solomon.py:352-361)
+        self._error_parties: set = set()
         from ..utils.telemetry import BenchmarkLogger
         self.bench_logger = BenchmarkLogger(my_id)
 
@@ -107,20 +111,30 @@ class AsyncMpc:
         return self._share_id - 1
 
     async def _gather_and_decode(self, shareid, round_, k, B):
-        """Await >= n-t columns, robust-decode; retry with more columns if
-        the error bound is exceeded."""
+        """Await >= n-t usable columns, robust-decode; retry with more
+        columns if the error bound is exceeded. Parties whose shares decode
+        as errors are excluded from every later open (reference
+        IncrementalDecoder confirmed-error tracking)."""
         buf = self._open_buffers[shareid][round_]
         want = self.n - self.t
         while True:
-            while len(buf) < want:
+            while len(set(buf) - self._error_parties) < want:
                 self._signal.clear()
                 await self._signal.wait()
-            zs = tuple(sorted(buf.keys()))
+            zs = tuple(sorted(set(buf) - self._error_parties))
             ys = FpArray(jnp.stack([buf[z] for z in zs], axis=-1))
             coeffs, reenc, ok = gao_robust_decode(self.enc, zs, ys, k)
             if bool(np.asarray(ok).all()):
+                err = ~np.asarray(reenc.eq(ys))          # [..., len(zs)]
+                bad = {zs[i] for i in range(len(zs))
+                       if bool(err[..., i].any())}
+                if bad:
+                    self._error_parties |= bad
+                    self.bench_logger.record(
+                        "open.confirmed_errors", parties=sorted(bad),
+                        shareid=shareid, round=round_)
                 return coeffs
-            if want < self.n:
+            if want < self.n - len(self._error_parties):
                 want += 1       # collect more and retry
             else:
                 raise RuntimeError("robust decode failed with all n shares")

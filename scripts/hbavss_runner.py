@@ -23,6 +23,7 @@ async def _main():
     from honeybadgermpc_tpu.field import GF
     from honeybadgermpc_tpu.elliptic_curve import Subgroup
     from honeybadgermpc_tpu.parallel.ipc import NodeCommunicator
+    from honeybadgermpc_tpu.crypto.poly_commit_const import gen_pc_const_crs
     from honeybadgermpc_tpu.protocols.hbavss import (HbAvssBatch,
                                                      HbAvssLight,
                                                      get_avss_params)
@@ -32,23 +33,24 @@ async def _main():
     cfg = HbmpcConfig.load_config()
     n, t, my_id = cfg.N, cfg.t, cfg.my_id
     field = GF(Subgroup.BLS12_381)
-    k = int(cfg.extra.get("k", 8)) if cfg.extra else 8
+    k = int(cfg.extras.get("k", 8)) if cfg.extras else 8
 
     async with NodeCommunicator(cfg.peers, my_id) as node:
         subscribe_task, subscribe = subscribe_recv(node.recv)
         send = wrap_send("avss", node.send)
         recv = subscribe("avss")
 
-        pks, sks, crs = get_avss_params(n, t)
+        g, h, pks, sks = get_avss_params(n, t)
         t0 = time.perf_counter()
         if batch:
+            crs = gen_pc_const_crs(t, g=g, h=h, seed=7)
             avss = HbAvssBatch(pks, sks[my_id], crs, n, t, my_id,
                                send, recv)
             values = ([field.random(i).value for i in range(k)]
                       if my_id == 0 else None)
             out = await avss.avss(0, values=values, dealer_id=0)
         else:
-            avss = HbAvssLight(pks, sks[my_id], crs[0], crs[1], n, t,
+            avss = HbAvssLight(pks, sks[my_id], g, h, n, t,
                                my_id, send, recv)
             value = field.random(0).value if my_id == 0 else None
             out = await avss.avss(0, value=value, dealer_id=0)

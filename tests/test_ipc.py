@@ -58,6 +58,53 @@ def test_async_mpc_open_and_mul(rng):
         assert list(prod) == want_prod
 
 
+def test_async_mpc_error_party_excluded(rng):
+    """A party sending corrupted R1/R2 columns is identified by the robust
+    decode and permanently excluded from later opens (reference
+    IncrementalDecoder confirmed-error tracking, reed_solomon.py:352-361)."""
+    n, t = 4, 1
+    byz = 2
+    pre = PreProcessedElements(n, t, seed=61)
+    xs = [rng.randrange(P) for _ in range(4)]
+    x_sh = pre._share_values(FpArray.from_ints(xs))   # [n, 4]
+
+    async def run():
+        router = TestRouter(n, seed=23)
+        ctxs = {}
+
+        async def party(i):
+            send = router.sends[i]
+            if i == byz:
+                inner = send
+
+                def send(dest, o):                  # corrupt every column
+                    shareid, round_, arr = o
+                    inner(dest, (shareid, round_, arr ^ 1))
+            ctx = AsyncMpc("sid2", n, t, i, send, router.recvs[i])
+            ctxs[i] = ctx
+
+            async def prog(c):
+                sx = c.ShareArray(FpArray(x_sh.limbs[:, i]))
+                a = await sx.open()
+                b = await (sx + sx).open()
+                return a.to_ints(), b.to_ints()
+
+            return await ctx._run(prog)
+
+        outs = await asyncio.wait_for(
+            asyncio.gather(*[party(i) for i in range(n)]), 600)
+        return outs, ctxs
+
+    outs, ctxs = asyncio.run(run())
+    want1 = [v % P for v in xs]
+    want2 = [2 * v % P for v in xs]
+    for i, (a, b) in enumerate(outs):
+        if i == byz:
+            continue
+        assert list(a) == want1 and list(b) == want2
+        assert byz in ctxs[i]._error_parties
+
+
 def test_node_communicator_localhost():
     """n NodeCommunicators over real TCP sockets in one loop."""
     import zmq  # noqa: F401  (skip if missing)
