@@ -22,7 +22,10 @@ def ctx():
     pre = PreProcessedElements(N, T, seed=3)
     pre.generate_triples(4096)
     pre.generate_rands(1024)
-    return MpcContext(N, T, preproc=pre)
+    # robust=False keeps the XLA:CPU compile of whole-program graphs small
+    # (minutes vs seconds); the robust open path is covered by
+    # tests/test_fused_open.py and tests/test_reconstruct.py
+    return MpcContext(N, T, preproc=pre, robust=False)
 
 
 def _deal(pre, values):
