@@ -33,21 +33,20 @@ def main():
 
     n, t = 64, 21
     k = t + 1
-    SEG = k * 768                             # C=768 chunks (lane-aligned)
-    NSEG = 4
-    B = SEG * NSEG                            # 67584 ~= 2^16 shares
 
     import jax
     import jax.numpy as jnp
 
-    pre = PreProcessedElements(n, t, seed=0)
-    segs = []
-    for _ in range(NSEG):                     # deal segment-wise (HBM)
-        pre.generate_rands(SEG)
-        # the dealer's at-rest share format is PACKED (2x16-bit limbs
-        # per word) — packing here is deal-time work, not open-time
-        segs.append(jax.jit(pack_limbs)(pre.get_rands(SEG).limbs))
-    stacked = jnp.stack(segs, 0)              # [NSEG, PL, n, SEG]
+    def build(C, NSEG):
+        SEG = k * C
+        pre = PreProcessedElements(n, t, seed=0)
+        segs = []
+        for _ in range(NSEG):                 # deal segment-wise (HBM)
+            pre.generate_rands(SEG)
+            # the dealer's at-rest share format is PACKED (2x16-bit limbs
+            # per word) — packing here is deal-time work, not open-time
+            segs.append(jax.jit(pack_limbs)(pre.get_rands(SEG).limbs))
+        return jnp.stack(segs, 0)             # [NSEG, PL, n, SEG]
 
     # fallback=False: validation errors are still counted in-kernel (and
     # asserted zero below), but the robust Gao redo stays OUT of the
@@ -68,9 +67,26 @@ def main():
         # peak memory of a single segment
         return jax.lax.map(run, st)
 
-    # correctness gate: no decode errors on honest shares
-    out, nerr = run_all(stacked)
-    assert int(jax.device_get(nerr).sum()) == 0
+    # (C=768, NSEG=4) is the measured-fastest config; the fallbacks dodge a
+    # sporadic borderline scoped-VMEM compile failure seen once on this
+    # platform (16.84M vs the 16M limit) — both compiled and ran clean
+    # within ~6% of the primary's throughput.
+    stacked = None
+    for C, NSEG in [(768, 4), (1536, 2), (3072, 1)]:
+        try:
+            cand = build(C, NSEG)
+            out, nerr = run_all(cand)        # compile + correctness gate
+            assert int(jax.device_get(nerr).sum()) == 0
+            stacked = cand
+            B = cand.shape[0] * k * C
+            break
+        except AssertionError:
+            raise
+        except Exception as e:               # compile OOM -> next config
+            import sys
+            print(f"# config C={C} NSEG={NSEG} failed: {type(e).__name__}",
+                  file=sys.stderr, flush=True)
+    assert stacked is not None, "no benchmark config compiled"
 
     # timed runs (force real completion via device_get); enough back-to-back
     # dispatches that the remote-tunnel enqueue latency amortizes and the
