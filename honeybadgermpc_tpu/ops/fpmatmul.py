@@ -219,17 +219,12 @@ def _decode_validate_np(points: tuple, k: int, want_coeffs: bool):
 def decode_validate_matmul(points, k: int, ys: FpArray,
                            want_coeffs: bool) -> FpArray:
     """ys[..., k] (shares of parties 0..k-1) -> fused decode+validate
-    output (see _decode_validate_np). Jitted end-to-end."""
-    return _decode_validate_matmul_jit(
-        tuple(int(x) % P for x in points), k, want_coeffs, ys)
-
-
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _decode_validate_matmul_jit(points: tuple, k: int, want_coeffs: bool,
-                                ys: FpArray) -> FpArray:
+    output (see _decode_validate_np). One dispatch per call; compile
+    cached per SHAPE (the points matrix is a device argument)."""
     from .devcache import dev_const
-    w = FpArray(dev_const(_decode_validate_np(points, k, want_coeffs)))
-    return fp_matmul(ys, w)
+    w = FpArray(dev_const(_decode_validate_np(
+        tuple(int(x) % P for x in points), k, want_coeffs)))
+    return _fp_matmul_jit(ys, w)
 
 
 def lagrange_matrix(xs: tuple) -> FpArray:
@@ -237,69 +232,73 @@ def lagrange_matrix(xs: tuple) -> FpArray:
     return FpArray(dev_const(_lagrange_matrix_np(xs)))
 
 
+# ONE jitted matmul program per SHAPE: the x-set enters as a device-array
+# argument (host-cached per x-set), never as a static jit key — per-x-set
+# keys compile a fresh multi-second program for every evaluation-point
+# subset (arrival-order decoding generates many).
+_fp_matmul_jit = jax.jit(fp_matmul)
+
+
 @partial(jax.jit, static_argnums=0)
-def _vandermonde_batch_evaluate_jit(xs_t: tuple, coeffs: FpArray) -> FpArray:
+def _band_evaluate_jit(xs_t: tuple, coeffs: FpArray) -> FpArray:
+    """Folded-constant MXU band path — deliberately x-set-keyed: the band
+    folds the pre-reduced matrix into the kernel as int8 constants (the
+    production hot path uses ONE x-set: the n party points)."""
+    from .band_matmul import band_matmul_limbs
     k = coeffs.shape[-1]
     batch = _numel(coeffs.shape[:-1])
-    if _band_path_ok(k, len(xs_t), batch):
-        from .band_matmul import band_matmul_limbs
-        flat = coeffs.limbs.reshape(coeffs.limbs.shape[0], batch, k)
-        out = band_matmul_limbs(flat, _vandermonde_int_rows(xs_t, k))
-        return FpArray(out.reshape(
-            out.shape[:1] + coeffs.shape[:-1] + (len(xs_t),)))
-    v = vandermonde_matrix(xs_t, k)
-    return fp_matmul(coeffs, v)
+    flat = coeffs.limbs.reshape(coeffs.limbs.shape[0], batch, k)
+    out = band_matmul_limbs(flat, _vandermonde_int_rows(xs_t, k))
+    return FpArray(out.reshape(
+        out.shape[:1] + coeffs.shape[:-1] + (len(xs_t),)))
 
 
 def vandermonde_batch_evaluate(xs, coeffs: FpArray) -> FpArray:
     """Evaluate polynomials (coeffs[..., k], k = degree+1) at points xs.
     Matches hbmpc_ntl_helpers.pyx:199 vandermonde_batch_evaluate.
-
-    Jitted end-to-end: eager op dispatch costs 15-200 ms per op on the
-    remote-tunneled TPU backend, so every public kernel entry point traces
-    into ONE compiled program (x-set is a static trace constant)."""
-    assert coeffs.shape[-1] <= len(xs) or True
-    return _vandermonde_batch_evaluate_jit(
-        tuple(int(x) % P for x in xs), coeffs)
+    One dispatch per call; compile cached per SHAPE (see _fp_matmul_jit)."""
+    xs_t = tuple(int(x) % P for x in xs)
+    k = coeffs.shape[-1]
+    if _band_path_ok(k, len(xs_t), _numel(coeffs.shape[:-1])):
+        return _band_evaluate_jit(xs_t, coeffs)
+    return _fp_matmul_jit(coeffs, vandermonde_matrix(xs_t, k))
 
 
 def vandermonde_batch_interpolate(xs, ys: FpArray) -> FpArray:
     """Coefficients (degree < len(xs)) through (xs[i], ys[..., i]).
     Matches hbmpc_ntl_helpers.pyx:139 vandermonde_batch_interpolate.
-    Jitted end-to-end (see vandermonde_batch_evaluate)."""
+    One dispatch per call; compile cached per SHAPE."""
     xs_t = tuple(int(x) % P for x in xs)
-    assert ys.shape[-1] == len(xs_t)
-    return _vandermonde_batch_interpolate_jit(xs_t, ys)
+    k = len(xs_t)
+    assert ys.shape[-1] == k
+    if _band_path_ok(k, k, _numel(ys.shape[:-1])):
+        return _band_interpolate_jit(xs_t, ys)
+    return _fp_matmul_jit(ys, lagrange_matrix(xs_t))
 
 
 @partial(jax.jit, static_argnums=0)
-def _vandermonde_batch_interpolate_jit(xs_t: tuple, ys: FpArray) -> FpArray:
+def _band_interpolate_jit(xs_t: tuple, ys: FpArray) -> FpArray:
+    """Folded-constant band path (see _band_evaluate_jit)."""
+    from .band_matmul import band_matmul_limbs
     k = len(xs_t)
     batch = _numel(ys.shape[:-1])
-    if _band_path_ok(k, k, batch):
-        from .band_matmul import band_matmul_limbs
-        rows = tuple(tuple(r) for r in _lagrange_int_rows(xs_t))
-        flat = ys.limbs.reshape(ys.limbs.shape[0], batch, k)
-        out = band_matmul_limbs(flat, rows)
-        return FpArray(out.reshape(
-            out.shape[:1] + ys.shape[:-1] + (k,)))
-    w = lagrange_matrix(xs_t)
-    return fp_matmul(ys, w)
+    rows = tuple(tuple(r) for r in _lagrange_int_rows(xs_t))
+    flat = ys.limbs.reshape(ys.limbs.shape[0], batch, k)
+    out = band_matmul_limbs(flat, rows)
+    return FpArray(out.reshape(out.shape[:1] + ys.shape[:-1] + (k,)))
+
+
+@jax.jit
+def _fp_matvec_jit(ys: FpArray, lam: FpArray) -> FpArray:
+    return FpArray(fp_matmul(ys, lam).limbs[..., 0])
 
 
 def lagrange_evaluate_at(xs, ys: FpArray, x0: int = 0) -> FpArray:
     """Evaluate the interpolant at a single point x0 via a precomputed
     Lagrange-coefficient vector (one fused dot): out[...] for ys[..., k].
-    Jitted end-to-end (see vandermonde_batch_evaluate)."""
-    return _lagrange_evaluate_at_jit(
-        tuple(int(x) % P for x in xs), int(x0) % P, ys)
-
-
-@partial(jax.jit, static_argnums=(0, 1))
-def _lagrange_evaluate_at_jit(xs: tuple, x0: int, ys: FpArray) -> FpArray:
-    lam = _lagrange_coeffs_at(xs, x0)            # FpArray[k, 1]
-    out = fp_matmul(ys, lam)                     # [..., 1]
-    return FpArray(out.limbs[..., 0])
+    One dispatch per call; compile cached per SHAPE."""
+    lam = _lagrange_coeffs_at(tuple(int(x) % P for x in xs), int(x0) % P)
+    return _fp_matvec_jit(ys, lam)
 
 
 def _lagrange_coeffs_at(xs: tuple, x0: int) -> FpArray:

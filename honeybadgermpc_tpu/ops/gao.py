@@ -102,52 +102,53 @@ def gao_robust_decode(enc: Encoding, zs, ys: FpArray, k: int):
     to (m-k)//2 wrong shares. Returns (coeffs[..., k], error_mask[..., m],
     ok[...]): error_mask marks provided shares that disagree with the decoded
     codeword; ok=False where more than (m-k)//2 errors made decoding fail.
-    The interpolation AND the EEA kernel trace into one jitted program."""
+    The EEA kernel compiles per SHAPE (m, k); the x-set tables (A(X), the
+    re-encode Vandermonde) are host-cached device arguments, so a new
+    erasure subset costs no recompile."""
     zs = tuple(int(z) for z in zs)
     assert ys.shape[-1] == len(zs) and k <= len(zs)
-    return _gao_decode_jit(enc, zs, k, ys)
-
-
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _gao_decode_jit(enc: Encoding, zs: tuple, k: int, ys: FpArray):
-    m = len(zs)
     xs = tuple(enc.points[z] for z in zs)
-    from .devcache import dev_const
-    g0 = dev_const(_g0_coeffs(xs))                         # [L, m+1]
     g1 = enc.decode(zs, ys)                                # [..., m]
-    return _gao_kernel(m, k, xs)(g1.limbs, g0)
+    return _gao_from_g1(xs, k, g1)
 
 
 def gao_decode_points(xs, ys: FpArray, k: int):
     """gao_robust_decode over ARBITRARY evaluation points xs (no Encoding
     domain) — the pyx gao_interpolate:389 entry, where callers pass raw x
     coordinates. Same returns as gao_robust_decode."""
+    from .fpmatmul import vandermonde_batch_interpolate
     xs = tuple(int(x) % P for x in xs)
     assert ys.shape[-1] == len(xs) and k <= len(xs)
-    return _gao_points_jit(xs, k, ys)
+    g1 = vandermonde_batch_interpolate(xs, ys)             # [..., m]
+    return _gao_from_g1(xs, k, g1)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _gao_points_jit(xs: tuple, k: int, ys: FpArray):
+def _gao_from_g1(xs: tuple, k: int, g1: FpArray):
     from .devcache import dev_const
-    from .fpmatmul import vandermonde_batch_interpolate
     m = len(xs)
     g0 = dev_const(_g0_coeffs(xs))                         # [L, m+1]
-    g1 = vandermonde_batch_interpolate(xs, ys)             # [..., m]
-    return _gao_kernel(m, k, xs)(g1.limbs, g0)
+    vand = dev_const(_gao_vand_np(xs, m + 1))              # [L, m+1, m]
+    return _gao_kernel(m, k)(g1.limbs, g0, vand)
 
 
 @lru_cache(maxsize=None)
-def _gao_kernel(m: int, k: int, xs: tuple):
+def _gao_vand_np(xs: tuple, rows: int):
+    """Re-encode matrix V[i][j] = xs[j]^i (Montgomery numpy, host-cached)."""
+    v = np.asarray([[pow(x, i, P) * R_MOD_P % P for x in xs]
+                    for i in range(rows)], dtype=object)
+    return ints_to_limbs(v)
+
+
+@lru_cache(maxsize=None)
+def _gao_kernel(m: int, k: int):
+    """EEA decode kernel, compiled per (m, k) SHAPE only — the x-set enters
+    via the g0 / vand device arguments (see gao_robust_decode)."""
     M = m + 1
     stop2 = m + k            # continue while 2*deg(r1) >= m+k
     n_eea = 2 * m            # each step drops max(d0,d1) by >= 1
-    vand = np.asarray([[pow(x, i, P) * R_MOD_P % P for x in xs]
-                       for i in range(M)], dtype=object)
-    vand_np = ints_to_limbs(vand)        # [L, M, m] numpy (no tracer leak)
 
     @jax.jit
-    def kernel(g1_limbs, g0):
+    def kernel(g1_limbs, g0, vand):
         batch = g1_limbs.shape[1:-1]
         pad = jnp.zeros((L,) + batch + (M - m,), jnp.uint32)
         r1 = jnp.concatenate([g1_limbs, pad], -1)          # [L, ..., M]
@@ -214,17 +215,12 @@ def _gao_kernel(m: int, k: int, xs: tuple):
 
         ok = (dr < 0) & (_poly_degree(f) < k) & (dv >= 0)
         # error positions: shares disagreeing with re-encoded f
-        reenc = _vand_eval(f)                              # [..., m]
+        from .fpmatmul import _matmul_kernel
+        reenc = _matmul_kernel(f, vand)                    # [..., m]
         return f[..., :k], reenc, ok
 
-    def _vand_eval(f_limbs):
-        # f[..., M] @ vand[M, m] evaluated via the fpmatmul kernel
-        from .fpmatmul import _matmul_kernel
-        from .devcache import dev_const
-        return _matmul_kernel(f_limbs, dev_const(vand_np))
-
-    def wrapper(g1_limbs, g0):
-        f, reenc, ok = kernel(g1_limbs, g0)
+    def wrapper(g1_limbs, g0, vand):
+        f, reenc, ok = kernel(g1_limbs, g0, vand)
         return FpArray(f), FpArray(reenc), ok
 
     return wrapper

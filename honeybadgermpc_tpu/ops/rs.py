@@ -58,10 +58,10 @@ class Encoding:
             self.points = list(range(1, n + 1))
 
     # -- encode ------------------------------------------------------------
-    # encode/decode are jitted end-to-end with self/zs static: eager op
-    # dispatch costs 15-200 ms per op on the remote-tunneled TPU backend,
-    # so each public kernel entry must trace into ONE compiled program.
-    @partial(jax.jit, static_argnums=0)
+    # All device work below runs inside shape-keyed jitted kernels; zs/x-set
+    # dependent tables are host-cached and passed as device ARGUMENTS, so a
+    # new erasure subset never triggers a fresh multi-second compile (the
+    # arrival-order decoding path generates many subsets).
     def encode(self, coeffs: FpArray) -> FpArray:
         """coeffs[..., k] -> shares[..., n] (share j = poly(point_j))."""
         k = coeffs.shape[-1]
@@ -72,14 +72,10 @@ class Encoding:
 
     # -- erasure decode ----------------------------------------------------
     def decode(self, zs, ys: FpArray) -> FpArray:
-        """Interpolate coefficients from shares of parties ``zs`` (static
-        tuple of party indices); ys[..., len(zs)]."""
+        """Interpolate coefficients from shares of parties ``zs`` (tuple of
+        party indices); ys[..., len(zs)]."""
         zs = tuple(int(z) for z in zs)
         assert ys.shape[-1] == len(zs)
-        return self._decode_jit(zs, ys)
-
-    @partial(jax.jit, static_argnums=(0, 1))
-    def _decode_jit(self, zs: tuple, ys: FpArray) -> FpArray:
         if self.use_omega_powers:
             return self._fnt_decode(zs, ys)
         xs = tuple(self.points[z] for z in zs)
@@ -94,20 +90,31 @@ class Encoding:
     def _fnt_decode(self, zs: tuple, ys: FpArray) -> FpArray:
         n, omega, omega2 = self.order, self.omega, self.omega2
         a_evals, ai_inv, _ = _fnt_step1(n, omega2, zs)
-        k = len(zs)
-        # N'(X): coefficient z_i is y_i / Ai(x_i); others 0.
         from .devcache import dev_const
-        nis = ys * FpArray(dev_const(ai_inv))              # [..., k]
-        scatter = _scatter_matrix(n, zs)                   # [k, n] 0/1
-        ncoeffs = fp_matmul(nis, FpArray(dev_const(scatter)))
-        nevals = ntt(ncoeffs, omega)                       # N'(omega^i)
-        # P/A(X) = -reverse(nevals) as coefficients, evaluated on 2n domain
-        rev = FpArray(nevals.limbs[..., ::-1])
-        power_a = -rev
-        pas = fft_evaluate(power_a, omega2, 2 * n)
-        ps = pas * FpArray(dev_const(a_evals))             # [..., 2n]
-        prec = intt(ps, omega2)
-        return FpArray(prec.limbs[..., :k])
+        return _fnt_decode_kernel(omega, omega2, n, ys,
+                                  FpArray(dev_const(ai_inv)),
+                                  FpArray(dev_const(_scatter_matrix(n, zs))),
+                                  FpArray(dev_const(a_evals)))
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _fnt_decode_kernel(omega: int, omega2: int, n: int, ys: FpArray,
+                       ai_inv: FpArray, scatter: FpArray,
+                       a_evals: FpArray) -> FpArray:
+    """fnt_decode_step2 (rsdecode_impl.h:226-265): one compiled program per
+    (omega, n, shape); the zs-dependent step1 tables arrive as arguments."""
+    k = ys.shape[-1]
+    # N'(X): coefficient z_i is y_i / Ai(x_i); others 0.
+    nis = ys * ai_inv                                  # [..., k]
+    ncoeffs = fp_matmul(nis, scatter)                  # scatter [k, n] 0/1
+    nevals = ntt(ncoeffs, omega)                       # N'(omega^i)
+    # P/A(X) = -reverse(nevals) as coefficients, evaluated on 2n domain
+    rev = FpArray(nevals.limbs[..., ::-1])
+    power_a = -rev
+    pas = fft_evaluate(power_a, omega2, 2 * n)
+    ps = pas * a_evals                                 # [..., 2n]
+    prec = intt(ps, omega2)
+    return FpArray(prec.limbs[..., :k])
 
 
 @lru_cache(maxsize=None)
@@ -186,12 +193,6 @@ def optimistic_check(enc: Encoding, coeffs: FpArray, zs_check, ys_check: FpArray
     (the reference IncrementalDecoder's optimistic validation,
     reed_solomon.py:305-332). Returns bool mask [..., len(zs_check)] of
     AGREEMENT per share."""
-    return _optimistic_check_jit(enc, tuple(int(z) for z in zs_check),
-                                 coeffs, ys_check)
-
-
-@partial(jax.jit, static_argnums=(0, 1))
-def _optimistic_check_jit(enc, zs_check, coeffs, ys_check):
     shares = enc.encode(coeffs)
     sub = shares.take(list(zs_check), axis=shares.ndim - 1)
     return sub.eq(ys_check)

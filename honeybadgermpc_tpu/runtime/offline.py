@@ -21,6 +21,8 @@ Byzantine threshold — same parameters as the reference (big_t = n-2t-1).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -89,6 +91,7 @@ def _open_columns(backend, cols: FpArray, n: int, degree: int):
     return vals.reshape(out_shape), nerr
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def randousha(backend, n: int, t: int, k: int, key):
     """Generate k*(n-2t) double sharings (r_t, r_2t) with verification.
 
@@ -128,6 +131,7 @@ def randousha(backend, n: int, t: int, k: int, key):
     return keep_t.reshape(flat), keep_2t.reshape(flat), ok
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def generate_triples(backend, n: int, t: int, k: int, key):
     """Beaver triples from RanDouSha (offline_randousha.py:154-191): draw
     3k double sharings; use (a, b, r): open a*b + r at degree 2t, subtract
@@ -148,6 +152,7 @@ def generate_triples(backend, n: int, t: int, k: int, key):
     return a, b, ab, ok
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def generate_bits(backend, n: int, t: int, k: int, key):
     """Random shared bits via the u/sqrt(u^2) trick
     (offline_randousha.py:194-232). Returns (bits [party.., m], ok)."""
