@@ -97,9 +97,18 @@ class HbAvssLight:
     async def avss(self, avss_id, value=None, dealer_id=None,
                    client_mode=False):
         """Deal (if dealer) / receive a share of one secret. Returns this
-        party's share as an int (field element value)."""
+        party's share as an int (field element value).
+
+        client_mode (reference hbavss.py:269-305): the dealer is an
+        EXTERNAL (n+1)-th node with id n — it runs the RBC as leader over
+        n+1 parties (reliablebroadcast client_mode sends VAL only,
+        reliablebroadcast.py:193-211 / ours :44) and returns None right
+        after; only the n regular parties verify, vote, and output shares.
+        """
         if dealer_id is None:
             dealer_id = self.my_id
+        if client_mode:
+            assert dealer_id == self.n, "client dealer is the (n+1)-th node"
         broadcast_msg = None
         if self.my_id == dealer_id:
             assert value is not None
@@ -107,9 +116,13 @@ class HbAvssLight:
 
         tag = f"{dealer_id}-{avss_id}-RBC"
         rbc_send, rbc_recv = self._mk(tag)
+        rbc_n = self.n + 1 if client_mode else self.n
         blob = await reliablebroadcast(
-            tag, self.my_id, self.n, self.t, dealer_id,
-            broadcast_msg, rbc_recv, rbc_send)
+            tag, self.my_id, rbc_n, self.t, dealer_id,
+            broadcast_msg, rbc_recv, rbc_send, client_mode=client_mode)
+        if client_mode and self.my_id == dealer_id:
+            # the external dealer does nothing after the initial dispatch
+            return None
         commitments, epk, z = pickle.loads(blob)
 
         vote_tag = f"{dealer_id}-{avss_id}-AVSS"
@@ -293,7 +306,11 @@ class HbAvssBatch:
             if msg[0] == "OK":
                 oks.add(sender)
                 if len(oks) >= 2 * self.t + 1 and shares is not None:
-                    disperse.cancel() if False else None
+                    # dispersal agreement necessarily completed before our
+                    # retrieve() resolved (ok_future gates it), so this
+                    # await returns immediately — and surfaces any error
+                    # instead of leaking the task on the return path
+                    await disperse
                     return shares
             elif msg[0] == "IMPLICATE" and not in_recovery:
                 _, their_key, proof = msg

@@ -27,10 +27,17 @@ class PreProcessingBase:
     """Watermark-triggered AVSS refill loop (offline_robust.py:24-139)."""
 
     def __init__(self, n, t, my_id, send, recv, tag, batch_size=4,
-                 avss_value_processor_chunk_size=1, pk=None, sk=None):
+                 avss_value_processor_chunk_size=1, pk=None, sk=None,
+                 low_watermark=None, period=0.05):
         self.n, self.t, self.my_id = n, t, my_id
         self.tag = tag
         self.batch_size = batch_size
+        # refill threshold + poll period of the continuous runner
+        # (reference offline_robust.py:46-47 low_watermark = batch_size,
+        # PERIOD_IN_SECONDS poll loop :87-99)
+        self.low_watermark = (batch_size if low_watermark is None
+                              else low_watermark)
+        self.period = period
         self.output_queue = asyncio.Queue()
         self.field = GF(Subgroup.BLS12_381)
         self.poly = polynomials_over(self.field)
@@ -76,8 +83,29 @@ class PreProcessingBase:
             await self.avp.run_acs_round()
             await self._extract()
 
-    def start(self, n_batches: int = 1):
-        t = asyncio.ensure_future(self._runner(n_batches))
+    async def _watermark_runner(self):
+        """Continuous refill (reference offline_robust.py:87-99): whenever
+        the output queue drops below low_watermark, deal another batch of
+        AVSSes; otherwise poll every ``period`` seconds. Runs until
+        kill() — a long-running online phase keeps draining the queue and
+        the generators keep it topped up."""
+        self.avp.start()
+        b = 0
+        while True:
+            if self.output_queue.qsize() < self.low_watermark:
+                await self._trigger_and_wait_for_avss(b)
+                await self.avp.run_acs_round()
+                await self._extract()
+                b += 1
+            await asyncio.sleep(self.period)
+
+    def start(self, n_batches: int | None = None):
+        """n_batches=None (default): continuous watermark-triggered refill,
+        the reference's production mode. An explicit count runs exactly
+        that many batches (tests/benchmarks)."""
+        coro = (self._watermark_runner() if n_batches is None
+                else self._runner(n_batches))
+        t = asyncio.ensure_future(coro)
         t.add_done_callback(print_exception_callback)
         self._tasks.append(t)
         return t

@@ -117,6 +117,44 @@ def test_hbavss_light_cheating_dealer_recovery():
     assert rec2 == secret
 
 
+def test_hbavss_light_client_mode_external_dealer():
+    """client_mode: the dealer is an EXTERNAL (n+1)-th node (id n) — it
+    runs the RBC over n+1 parties, sends only VAL, returns None; the n
+    regular parties still end with consistent shares of its secret
+    (reference hbavss.py:269-305, reliablebroadcast.py:193-211)."""
+    n, t = 4, 1
+    g, h, pks, sks = get_avss_params(n, t)
+    secret = 31337
+
+    async def run():
+        router = TestRouter(n + 1, seed=11)   # slot n = the external client
+        instances = [HbAvssLight(pks, sks[i], g, h, n, t, i,
+                                 router.sends[i], router.recvs[i])
+                     for i in range(n)]
+        # the dealer knows the parties' PUBLIC keys only; its own private
+        # key is never used (it decrypts nothing, receives no share)
+        dealer = HbAvssLight(pks, ZR(1), g, h, n, t, n,
+                             router.sends[n], router.recvs[n])
+
+        async def party(i):
+            return await asyncio.wait_for(
+                instances[i].avss(0, dealer_id=n, client_mode=True), 60)
+
+        dealt = asyncio.create_task(
+            dealer.avss(0, secret, dealer_id=n, client_mode=True))
+        shares = await asyncio.gather(*[party(i) for i in range(n)])
+        assert await asyncio.wait_for(dealt, 60) is None
+        for inst in instances + [dealer]:
+            inst.kill()
+        return shares
+
+    shares = asyncio.run(run())
+    rec = open_from_shares({i + 1: s for i, s in enumerate(shares)}, t)
+    assert rec == secret
+    rec2 = open_from_shares({3: shares[2], 4: shares[3]}, t)
+    assert rec2 == secret
+
+
 def test_hbavss_batch():
     n, t = 4, 1
     g, h, pks, sks = get_avss_params(n, t)

@@ -109,3 +109,41 @@ def test_robust_random_generator():
     v1 = int(poly.interpolate_at([(1, outs[0]), (2, outs[1])], 0))
     v2 = int(poly.interpolate_at([(3, outs[2]), (4, outs[3])], 0))
     assert v1 == v2
+
+
+def test_robust_random_generator_watermark_refill():
+    """start() with NO batch count runs the continuous low-watermark loop
+    (reference offline_robust.py:87-99): draining the output queue below
+    the watermark triggers another AVSS batch without any explicit
+    start(n_batches). One batch yields at most n*batch_size - t = 7 values
+    here, so consuming 8 proves a refill happened."""
+    from honeybadgermpc_tpu.runtime.offline_robust import RandomGenerator
+    pk, sks = tbls_dealer(4, 2, seed=79)
+    n, t = 4, 1
+    want = 8
+
+    async def run():
+        router = TestRouter(n, seed=19)
+        gens = [RandomGenerator(n, t, i, router.sends[i], router.recvs[i],
+                                pk=pk, sk=sks[i], batch_size=2)
+                for i in range(n)]
+        for g in gens:
+            g.start()                      # watermark mode: no batch count
+
+        async def consume(g):
+            return [await g.get() for _ in range(want)]
+
+        outs = await asyncio.wait_for(
+            asyncio.gather(*[consume(g) for g in gens]), 600)
+        for g in gens:
+            g.kill()
+        return outs
+
+    outs = asyncio.run(run())
+    poly = polynomials_over(GF(P))
+    for j in range(want):
+        v1 = int(poly.interpolate_at(
+            [(1, outs[0][j]), (2, outs[1][j])], 0))
+        v2 = int(poly.interpolate_at(
+            [(3, outs[2][j]), (4, outs[3][j])], 0))
+        assert v1 == v2
