@@ -547,7 +547,185 @@ static PyObject* py_find_roots(PyObject*, PyObject* args) {
     return pack(plain);
 }
 
+// ---------------------------------------------------------------------------
+// Measured single-core CPU baseline of the batch-open pipeline
+// (BASELINE.md target "≥10x NTL single-core"; replaces bench.py's analytic
+// NTL estimate with a measurement of the same machine). This is ONE party's
+// steady-state work per opened batch — the reference's own pipeline shape
+// (encode + two optimistic FNT decodes + re-encode validation,
+// reed_solomon.py:305-332, rsdecode_impl.h:125-265) — implemented the way
+// NTL would run it fastest at n=64: radix-2 NTT for encode/validate (n is a
+// power of two, FFT eval domain) and a PRECOMPUTED k x k interpolation
+// matrix for the k-point decode (the logical limit of fnt_decode_step1's
+// per-x-set amortization; at k=22 a 484-mult matvec beats the two
+// O(n log n) FFTs of fnt_decode_step2). Montgomery form throughout, exactly
+// like ZZ_p. Single thread, no allocation inside the timed region.
+
+static void bitrev_permute(Fr* a, int m) {
+    for (int i = 1, j = 0; i < m; ++i) {
+        int bit = m >> 1;
+        for (; j & bit; bit >>= 1) j ^= bit;
+        j ^= bit;
+        if (i < j) { Fr t = a[i]; a[i] = a[j]; a[j] = t; }
+    }
+}
+
+// tw[half + j] = w_len^j for len = 2,4,...,m (half = len/2), Montgomery.
+static void fr_ntt(Fr* a, int m, const Fr* tw) {
+    bitrev_permute(a, m);
+    for (int len = 2; len <= m; len <<= 1) {
+        int half = len >> 1;
+        for (int i = 0; i < m; i += len) {
+            for (int j = 0; j < half; ++j) {
+                u64 t[4], u[4];
+                mont_mul(a[i + half + j].v, tw[half + j].v, t);
+                memcpy(u, a[i + j].v, 32);
+                add_(u, t, a[i + j].v);
+                sub_(u, t, a[i + half + j].v);
+            }
+        }
+    }
+}
+
+static u64 bl_rng;
+static void bl_rand_fr(Fr& o) {
+    for (int i = 0; i < 4; ++i) {
+        u64 x = bl_rng;
+        x ^= x >> 12; x ^= x << 25; x ^= x >> 27;
+        bl_rng = x;
+        o.v[i] = x * 0x2545F4914F6CDD1DULL;
+    }
+    o.v[3] &= 0x3fffffffffffffffULL;          // < 2^254 < p
+}
+
+// bench_open_pipeline(n, t, C, iters) -> (seconds, checksum)
+static PyObject* py_bench_open(PyObject*, PyObject* args) {
+    int n, t, C, iters;
+    if (!PyArg_ParseTuple(args, "iiii", &n, &t, &C, &iters)) return nullptr;
+    if (n & (n - 1)) {
+        PyErr_SetString(PyExc_ValueError, "n must be a power of two");
+        return nullptr;
+    }
+    int k = t + 1;
+    double secs = 0.0;
+    u64 checksum = 0;
+
+    Py_BEGIN_ALLOW_THREADS
+    // omega of order n: g^((p-1)/n) with g = 7 (Fr* generator)
+    u64 e[4] = {P_[0], P_[1], P_[2], P_[3]};
+    e[0] -= 1;                                 // p - 1 (low limb has no borrow)
+    int sh = 0;
+    while ((1 << sh) < n) ++sh;                // e >>= log2(n)
+    for (int i = 0; i < 4; ++i) {
+        e[i] >>= sh;
+        if (i < 3) e[i] |= e[i + 1] << (64 - sh);
+    }
+    u64 g_plain[4] = {7, 0, 0, 0}, g_m[4], omega_m[4];
+    to_mont(g_plain, g_m);
+    mont_pow(g_m, e, 255, omega_m);
+
+    // twiddle table tw[half + j] = (omega^(n/len))^j
+    std::vector<Fr> tw(n);
+    for (int len = 2; len <= n; len <<= 1) {
+        int half = len >> 1;
+        u64 wl[4];
+        u64 e2[4] = {(u64)(n / len), 0, 0, 0};
+        mont_pow(omega_m, e2, 32, wl);
+        memcpy(tw[half].v, R1_, 32);
+        for (int j = 1; j < half; ++j) mont_mul(tw[half + j - 1].v, wl, tw[half + j].v);
+    }
+
+    // k points x_j = omega^j; interpolation matrix Ik[c*k + j]
+    std::vector<Fr> xs(k);
+    memcpy(xs[0].v, R1_, 32);
+    for (int j = 1; j < k; ++j) mont_mul(xs[j - 1].v, omega_m, xs[j].v);
+    std::vector<Fr> A(k + 1);                  // prod (X - x_j)
+    memset(A.data(), 0, (k + 1) * 32);
+    memcpy(A[0].v, R1_, 32);
+    for (int i = 0, deg = 0; i < k; ++i, ++deg) {
+        for (int d = deg + 1; d >= 0; --d) {
+            u64 shifted[4] = {0, 0, 0, 0};
+            if (d > 0) memcpy(shifted, A[d - 1].v, 32);
+            u64 t1[4];
+            mont_mul(A[d].v, xs[i].v, t1);
+            sub_(shifted, t1, A[d].v);
+        }
+    }
+    std::vector<Fr> Ik((size_t)k * k);
+    for (int j = 0; j < k; ++j) {
+        std::vector<Fr> nj(k);
+        u64 carry[4]; memcpy(carry, A[k].v, 32);
+        for (int d = k - 1; d >= 0; --d) {     // A / (X - x_j)
+            memcpy(nj[d].v, carry, 32);
+            u64 t1[4];
+            mont_mul(carry, xs[j].v, t1);
+            add_(A[d].v, t1, carry);
+        }
+        u64 den[4]; memcpy(den, R1_, 32);
+        for (int m2 = 0; m2 < k; ++m2) {
+            if (m2 == j) continue;
+            u64 diff[4], t1[4];
+            sub_(xs[j].v, xs[m2].v, diff);
+            mont_mul(den, diff, t1);
+            memcpy(den, t1, 32);
+        }
+        u64 dinv[4]; mont_inv(den, dinv);
+        for (int c = 0; c < k; ++c)
+            mont_mul(nj[c].v, dinv, Ik[(size_t)c * k + j].v);
+    }
+
+    // random message coefficients (Montgomery residues; domain irrelevant)
+    bl_rng = 0x9E3779B97F4A7C15ULL;
+    std::vector<Fr> coeffs((size_t)C * k);
+    for (auto& f : coeffs) bl_rand_fr(f);
+    std::vector<Fr> shares((size_t)C * n);     // "received" columns
+    std::vector<Fr> tmp(n), dec(k);
+
+    struct timespec t0, t1;
+    clock_gettime(CLOCK_MONOTONIC, &t0);
+    for (int it = 0; it < iters; ++it) {
+        // encode: C polys of k coeffs -> n share points (NTT)
+        for (int gi = 0; gi < C; ++gi) {
+            memcpy(tmp.data(), &coeffs[(size_t)gi * k], (size_t)k * 32);
+            memset(&tmp[k], 0, (size_t)(n - k) * 32);
+            fr_ntt(tmp.data(), n, tw.data());
+            memcpy(&shares[(size_t)gi * n], tmp.data(), (size_t)n * 32);
+        }
+        // two decode rounds (R1, R2): k-point matvec interpolation +
+        // re-encode validation against all n received points
+        for (int round = 0; round < 2; ++round) {
+            for (int gi = 0; gi < C; ++gi) {
+                const Fr* y = &shares[(size_t)gi * n];
+                for (int c = 0; c < k; ++c) {
+                    u64 acc[4] = {0, 0, 0, 0};
+                    const Fr* row = &Ik[(size_t)c * k];
+                    for (int j = 0; j < k; ++j) {
+                        u64 t1[4];
+                        mont_mul(row[j].v, y[j].v, t1);
+                        u64 t2[4];
+                        add_(acc, t1, t2);
+                        memcpy(acc, t2, 32);
+                    }
+                    memcpy(dec[c].v, acc, 32);
+                }
+                memcpy(tmp.data(), dec.data(), (size_t)k * 32);
+                memset(&tmp[k], 0, (size_t)(n - k) * 32);
+                fr_ntt(tmp.data(), n, tw.data());
+                for (int j = 0; j < n; ++j)    // validate
+                    checksum += (u64)(memcmp(tmp[j].v, y[j].v, 32) != 0);
+            }
+        }
+    }
+    clock_gettime(CLOCK_MONOTONIC, &t1);
+    secs = (t1.tv_sec - t0.tv_sec) + (t1.tv_nsec - t0.tv_nsec) * 1e-9;
+    Py_END_ALLOW_THREADS
+
+    return Py_BuildValue("dK", secs, (unsigned long long)checksum);
+}
+
 static PyMethodDef Methods[] = {
+    {"bench_open_pipeline", py_bench_open, METH_VARARGS,
+     "single-core batch-open pipeline baseline: (n,t,C,iters)->(secs,chk)"},
     {"mulmod_vec", py_mulmod, METH_VARARGS, "elementwise a*b mod p"},
     {"addmod_vec", py_addmod, METH_VARARGS, "elementwise a+b mod p"},
     {"submod_vec", py_submod, METH_VARARGS, "elementwise a-b mod p"},
