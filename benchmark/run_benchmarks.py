@@ -54,8 +54,11 @@ def _block(out):
         leaves = [unwrap(x) for x in jax.tree.leaves(
             out, is_leaf=lambda x: hasattr(x, "v") or hasattr(x, "limbs"))]
         leaves = [x for x in leaves if hasattr(x, "ravel")]
-        if leaves:
-            jax.device_get(leaves[-1].ravel()[:1])
+        # fetch one element from EVERY leaf: leaves of independent
+        # dispatches would otherwise not be awaited (a single-leaf fetch
+        # only waits for that leaf's producing computation)
+        for leaf in leaves:
+            jax.device_get(leaf.ravel()[:1])
     except Exception:
         pass
 
@@ -233,13 +236,10 @@ def bench_triple_generation():
     offline_randousha.py:154-191), full n-party simulation on one chip."""
     import jax
 
-    from honeybadgermpc_tpu.parallel.mesh import SimBackend
-    from honeybadgermpc_tpu.runtime.offline import generate_triples
+    from honeybadgermpc_tpu.runtime.offline import sim_offline_jit
 
     for n, t, k in [(16, 5, 512), (64, 21, 512)]:
-        backend = SimBackend(n)
-        f = jax.jit(lambda key, n=n, t=t, k=k:
-                    generate_triples(backend, n, t, k, key))
+        f = sim_offline_jit("generate_triples", n, t, k)
         out = f(jax.random.PRNGKey(0))
         assert bool(jax.device_get(out[3]))
         _block(out[0].limbs)

@@ -14,7 +14,8 @@ Design notes:
 * Pairing: ate Miller loop entirely on E(Fq12) after untwisting Q — slower
   than a sparse-twist implementation but free of twist-type pitfalls; the
   final exponentiation is the plain (q^12-1)/r power.
-* Verified by bilinearity/non-degeneracy tests (tests/test_pairing.py).
+* Verified by bilinearity/non-degeneracy and native-parity tests
+  (tests/test_pairing_native.py).
 """
 
 from __future__ import annotations

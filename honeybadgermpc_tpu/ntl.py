@@ -39,6 +39,18 @@ def _device(modulus: int) -> bool:
     return int(modulus) == _BLS_P
 
 
+def _check_distinct(x, modulus):
+    """Duplicate evaluation points make the Vandermonde matrix singular —
+    the reference raises InterpolationError there
+    (hbmpc_ntl_helpers.pyx:169); without this check both the device and
+    host paths would silently return garbage (0^(p-2) == 0)."""
+    xr = [int(v) % modulus for v in x]
+    if len(set(xr)) != len(xr):
+        raise InterpolationError(
+            f"duplicate evaluation points (mod p): {len(xr) - len(set(xr))}"
+            " repeats")
+
+
 # -- host-exact fallbacks (arbitrary modulus) ---------------------------------
 
 def _lagrange_coeffs_host(x, y, p):
@@ -91,6 +103,7 @@ def lagrange_interpolate(x, y, modulus):
     """Coefficients of P with P(x[i]) = y[i] (pyx:73-99)."""
     assert len(x) == len(y)
     modulus = int(modulus)
+    _check_distinct(x, modulus)
     if _device(modulus):
         from .ops.fpmatmul import vandermonde_batch_interpolate as vbi
         ys = FpArray.from_ints([[int(v) % modulus for v in y]])
@@ -112,6 +125,7 @@ def vandermonde_inverse(x, modulus):
     """Inverse of the Vandermonde matrix V[i][j] = x[j]^i as row lists
     (pyx:115-136; see module docstring for the repr difference)."""
     modulus = int(modulus)
+    _check_distinct(x, modulus)
     if _device(modulus):
         from .ops.fpmatmul import _lagrange_int_rows
         # row j = coefficients of the Lagrange basis poly L_j; since
@@ -131,6 +145,7 @@ def vandermonde_inverse(x, modulus):
 def vandermonde_batch_interpolate(x, data_list, modulus):
     """Interpolate many polynomials through (x[i], data[i]) (pyx:139-197)."""
     modulus = int(modulus)
+    _check_distinct(x, modulus)
     if not data_list:
         return []
     if _device(modulus):
@@ -197,6 +212,7 @@ def fft_batch_interpolate(zs, ys_list, omega, modulus, n):
     modulus = int(modulus)
     omega = int(omega) % modulus
     xs = [pow(omega, int(z), modulus) for z in zs]
+    _check_distinct(xs, modulus)
     if _device(modulus):
         from .ops.fpmatmul import vandermonde_batch_interpolate as vbi
         ys = FpArray.from_ints(

@@ -253,25 +253,31 @@ def _band_evaluate_jit(xs_t: tuple, coeffs: FpArray) -> FpArray:
         out.shape[:1] + coeffs.shape[:-1] + (len(xs_t),)))
 
 
-def vandermonde_batch_evaluate(xs, coeffs: FpArray) -> FpArray:
+def vandermonde_batch_evaluate(xs, coeffs: FpArray,
+                               allow_band: bool = True) -> FpArray:
     """Evaluate polynomials (coeffs[..., k], k = degree+1) at points xs.
     Matches hbmpc_ntl_helpers.pyx:199 vandermonde_batch_evaluate.
-    One dispatch per call; compile cached per SHAPE (see _fp_matmul_jit)."""
+    One dispatch per call; compile cached per SHAPE (see _fp_matmul_jit).
+    ``allow_band=False`` forces the shape-keyed matmul path — required by
+    callers whose x-set VARIES per call (erasure subsets), since the band
+    kernel is deliberately x-set-keyed and would recompile per subset."""
     xs_t = tuple(int(x) % P for x in xs)
     k = coeffs.shape[-1]
-    if _band_path_ok(k, len(xs_t), _numel(coeffs.shape[:-1])):
+    if allow_band and _band_path_ok(k, len(xs_t), _numel(coeffs.shape[:-1])):
         return _band_evaluate_jit(xs_t, coeffs)
     return _fp_matmul_jit(coeffs, vandermonde_matrix(xs_t, k))
 
 
-def vandermonde_batch_interpolate(xs, ys: FpArray) -> FpArray:
+def vandermonde_batch_interpolate(xs, ys: FpArray,
+                                  allow_band: bool = True) -> FpArray:
     """Coefficients (degree < len(xs)) through (xs[i], ys[..., i]).
     Matches hbmpc_ntl_helpers.pyx:139 vandermonde_batch_interpolate.
-    One dispatch per call; compile cached per SHAPE."""
+    One dispatch per call; compile cached per SHAPE. ``allow_band=False``:
+    see vandermonde_batch_evaluate."""
     xs_t = tuple(int(x) % P for x in xs)
     k = len(xs_t)
     assert ys.shape[-1] == k
-    if _band_path_ok(k, k, _numel(ys.shape[:-1])):
+    if allow_band and _band_path_ok(k, k, _numel(ys.shape[:-1])):
         return _band_interpolate_jit(xs_t, ys)
     return _fp_matmul_jit(ys, lagrange_matrix(xs_t))
 

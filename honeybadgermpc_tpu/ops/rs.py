@@ -61,7 +61,10 @@ class Encoding:
     # All device work below runs inside shape-keyed jitted kernels; zs/x-set
     # dependent tables are host-cached and passed as device ARGUMENTS, so a
     # new erasure subset never triggers a fresh multi-second compile (the
-    # arrival-order decoding path generates many subsets).
+    # arrival-order decoding path generates many subsets). decode() forces
+    # allow_band=False for the same reason: the big-batch band kernel is
+    # x-set-keyed by design and is reserved for the ONE production x-set
+    # (encode at the n party points).
     def encode(self, coeffs: FpArray) -> FpArray:
         """coeffs[..., k] -> shares[..., n] (share j = poly(point_j))."""
         k = coeffs.shape[-1]
@@ -79,7 +82,7 @@ class Encoding:
         if self.use_omega_powers:
             return self._fnt_decode(zs, ys)
         xs = tuple(self.points[z] for z in zs)
-        return vandermonde_batch_interpolate(xs, ys)
+        return vandermonde_batch_interpolate(xs, ys, allow_band=False)
 
     def interpolate_at(self, zs, ys: FpArray, x0: int = 0) -> FpArray:
         from .fpmatmul import lagrange_evaluate_at

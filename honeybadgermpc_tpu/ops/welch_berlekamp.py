@@ -84,8 +84,14 @@ def wb_decode(xs, ys, k: int, e: int | None = None):
     if e is None:
         e = (nn - k) // 2
     if e == 0:
-        # plain interpolation
-        return _lagrange(xs, ys, k)
+        # no error budget: interpolate from the first k points, then REQUIRE
+        # every point to lie on the curve (without this check a corrupt
+        # point would silently decode to garbage — reference
+        # reed_solomon_wb.py raises unless the system is consistent)
+        out = _lagrange(xs[:k], ys[:k], k)
+        if all(_horner(out, x) == y % P for x, y in zip(xs, ys)):
+            return out
+        return None
     # unknowns: Q coeffs (k+e), E coeffs (e) (E monic: x^e + ...)
     nq, ne = k + e, e
     rows = []
@@ -141,6 +147,43 @@ def _lagrange(xs, ys, k):
         for i in range(min(len(num), k)):
             out[i] = (out[i] + f * num[i]) % P
     return out
+
+
+def wb_robust_decode(enc, zs, ys, k: int):
+    """Interface twin of gao_robust_decode (ops/gao.py:100): decode a
+    degree<k message from shares ys[..., m] of parties zs, with up to
+    (m-k)//2 wrong shares. Returns (coeffs[..., k], reenc[..., m], ok[...]).
+
+    This is the ``Algorithm.WELCH_BERLEKAMP`` branch of the runtime's
+    robust-decoder selection (reference RobustDecoderFactory,
+    reed_solomon.py:545-558) — host linear algebra, like the reference's
+    pure-Python reed_solomon_wb.py; the Gao kernel remains the fast path.
+    """
+    import numpy as np
+
+    from .fparray import FpArray
+
+    xs = [int(enc.points[z]) % P for z in zs]
+    m = len(xs)
+    arr = ys.to_ints()
+    shape = arr.shape[:-1]
+    flat = arr.reshape(-1, m)
+    coeffs, reenc, ok = [], [], []
+    for row in flat:
+        got = wb_decode(xs, [int(v) for v in row], k)
+        if got is None:
+            coeffs.append([0] * k)
+            reenc.append([0] * m)
+            ok.append(False)
+        else:
+            coeffs.append(got)
+            reenc.append([_horner(got, x) for x in xs])
+            ok.append(True)
+    return (
+        FpArray.from_ints(np.array(coeffs, dtype=object).reshape(shape + (k,))),
+        FpArray.from_ints(np.array(reenc, dtype=object).reshape(shape + (m,))),
+        np.array(ok, dtype=bool).reshape(shape),
+    )
 
 
 def make_wb_encoder_decoder(n, k, p, point=None):

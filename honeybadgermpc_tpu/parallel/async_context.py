@@ -70,11 +70,21 @@ class AsyncMpc:
     """sid-scoped context over (send, recv) (reference Mpc, mpc.py:26)."""
 
     def __init__(self, sid, n, t, my_id, send, recv, preproc=None,
-                 mixins=None, use_omega_powers=False):
+                 mixins=None, use_omega_powers=False, config=None):
         self.sid, self.n, self.t, self.my_id = sid, n, t, my_id
         self.send, self.recv = send, recv
         self.preproc = preproc
         self.enc = Encoding(n, use_omega_powers=use_omega_powers)
+        # reconstruction config (reference mpc.py:126-131 reads it from the
+        # ConfigVars.Reconstruction entry): induce_faults makes THIS party
+        # send random shares on every open; decoding_algorithm selects the
+        # robust fallback decoder (RobustDecoderFactory, reed_solomon.py:545)
+        from ..config import HbmpcConfig
+        self.reconstruction = (config if config is not None
+                               else HbmpcConfig.reconstruction)
+        # decoder-use accounting, so tests/telemetry can assert which path
+        # ran (optimistic fast path vs gao vs welch-berlekamp)
+        self.decode_stats = defaultdict(int)
         self._share_id = 0
         self._open_buffers = defaultdict(lambda: defaultdict(dict))
         self._recv_task = None
@@ -110,29 +120,62 @@ class AsyncMpc:
         self._share_id += 1
         return self._share_id - 1
 
+    def _mark_errors(self, zs, err, shareid, round_):
+        """err[..., i] True where party zs[i]'s column disagrees with the
+        decoded codeword; confirmed-error parties are excluded from every
+        later open (reference IncrementalDecoder, reed_solomon.py:352-361).
+        Returns the set marked bad this call."""
+        bad = {zs[i] for i in range(len(zs)) if bool(err[..., i].any())}
+        if bad:
+            self._error_parties |= bad
+            self.bench_logger.record(
+                "open.confirmed_errors", parties=sorted(bad),
+                shareid=shareid, round=round_)
+        return bad
+
     async def _gather_and_decode(self, shareid, round_, k, B):
-        """Await >= n-t usable columns, robust-decode; retry with more
-        columns if the error bound is exceeded. Parties whose shares decode
-        as errors are excluded from every later open (reference
-        IncrementalDecoder confirmed-error tracking)."""
+        """Await >= n-t usable columns; OPTIMISTIC first — non-robust
+        interpolation from the first k columns, re-encode, validate against
+        everything received (reference IncrementalDecoder fast path,
+        reed_solomon.py:305-332) — then fall back to the configured robust
+        decoder (gao kernel or host welch-berlekamp,
+        RobustDecoderFactory reed_solomon.py:545-558), retrying with more
+        columns if the error bound is exceeded."""
         buf = self._open_buffers[shareid][round_]
         want = self.n - self.t
+        robust_tried = False
         while True:
             while len(set(buf) - self._error_parties) < want:
                 self._signal.clear()
                 await self._signal.wait()
             zs = tuple(sorted(set(buf) - self._error_parties))
             ys = FpArray(jnp.stack([buf[z] for z in zs], axis=-1))
-            coeffs, reenc, ok = gao_robust_decode(self.enc, zs, ys, k)
+            if not robust_tried:
+                # optimistic: the guess is THE codeword iff it agrees with
+                # >= degree+1+max_errors-confirmed columns (uniqueness: any
+                # codeword matching that many received values agrees with
+                # >= degree+1 honest ones) — reed_solomon.py:302-303,334
+                guess = self.enc.decode(zs[:k], ys[..., :k])
+                reenc = FpArray(self.enc.encode(guess).limbs[..., list(zs)])
+                err = ~np.asarray(reenc.eq(ys))          # [..., len(zs)]
+                bad_cols = int(sum(bool(err[..., i].any())
+                                   for i in range(len(zs))))
+                needed = k + self.t - len(self._error_parties)
+                if len(zs) - bad_cols >= needed:
+                    self._mark_errors(zs, err, shareid, round_)
+                    self.decode_stats["optimistic"] += 1
+                    return guess
+            robust_tried = True
+            alg = self.reconstruction.decoding_algorithm
+            if alg == "welch-berlekamp":
+                from ..ops.welch_berlekamp import wb_robust_decode
+                coeffs, reenc, ok = wb_robust_decode(self.enc, zs, ys, k)
+            else:
+                coeffs, reenc, ok = gao_robust_decode(self.enc, zs, ys, k)
             if bool(np.asarray(ok).all()):
                 err = ~np.asarray(reenc.eq(ys))          # [..., len(zs)]
-                bad = {zs[i] for i in range(len(zs))
-                       if bool(err[..., i].any())}
-                if bad:
-                    self._error_parties |= bad
-                    self.bench_logger.record(
-                        "open.confirmed_errors", parties=sorted(bad),
-                        shareid=shareid, round=round_)
+                self._mark_errors(zs, err, shareid, round_)
+                self.decode_stats[alg] += 1
                 return coeffs
             if want < self.n - len(self._error_parties):
                 want += 1       # collect more and retry
@@ -159,18 +202,32 @@ class AsyncMpc:
         with phase(self.bench_logger, "open.encode_send",
                    shareid=shareid, batch=B):
             cols = self.enc.encode(coeffs)               # [C, n]
+            if self.reconstruction.induce_faults:
+                # this party is CONFIGURED faulty: send random garbage in
+                # place of its real columns (reference mpc.py:126-131,
+                # batch_reconstruction.py:129-131; conf/mpc_with_faults)
+                cols = self._random_like(cols)
             for j in range(self.n):
                 self.send(j, (shareid, "R1",
                               np.asarray(cols.limbs[..., j])))
         with phase(self.bench_logger, "open.r1_decode", shareid=shareid):
             psi = await self._gather_and_decode(shareid, "R1", d + 1, C)
         vals = FpArray(psi.limbs[..., 0])                # [C]
+        if self.reconstruction.induce_faults:
+            vals = self._random_like(vals)
         with phase(self.bench_logger, "open.r2", shareid=shareid):
             for j in range(self.n):
                 self.send(j, (shareid, "R2", np.asarray(vals.limbs)))
             sec = await self._gather_and_decode(shareid, "R2", k, C)
         out = sec.reshape(C * k)
         return FpArray(out.limbs[..., :B])
+
+    def _random_like(self, x: FpArray) -> FpArray:
+        """Random field elements with x's shape (fault injection)."""
+        import secrets
+        flat = [secrets.randbelow(P) for _ in range(x.size)]
+        return FpArray.from_ints(
+            np.array(flat, dtype=object).reshape(x.shape))
 
     async def mul(self, x: AsyncShareArray, y: AsyncShareArray):
         """Beaver multiply using local preprocessing slices."""

@@ -165,7 +165,7 @@ def fused_demand(ctx: MpcContext, prog, *args) -> dict:
     hit = _CACHE.get(key)
     if hit is None:
         hit = _build(ctx, prog, shares)
-        _CACHE[key] = hit
+        _cache_put(key, hit)
     return dict(hit[1])
 
 
@@ -191,6 +191,17 @@ def _as_share(ctx, a):
 
 
 _CACHE: dict = {}
+_CACHE_CAP = 128
+
+
+def _cache_put(key, val):
+    """Bounded insert (FIFO eviction): keys hold the program FUNCTION
+    OBJECT, so accidental fresh-lambda callers would otherwise leak a
+    compiled XLA program per call — with the cap they degrade to
+    retracing instead of unbounded growth."""
+    if len(_CACHE) >= _CACHE_CAP:
+        _CACHE.pop(next(iter(_CACHE)))
+    _CACHE[key] = val
 
 
 def run_fused(ctx: MpcContext, prog, *args, auto_deal: bool = False):
@@ -211,7 +222,7 @@ def run_fused(ctx: MpcContext, prog, *args, auto_deal: bool = False):
     hit = _CACHE.get(key)
     if hit is None:
         hit = _build(ctx, prog, shares)
-        _CACHE[key] = hit
+        _cache_put(key, hit)
     g, counts = hit
 
     pools = {}
@@ -254,7 +265,7 @@ def run_fused_scan(ctx: MpcContext, step, carry, steps: int, per_step=None,
     hit = _CACHE.get(key)
     if hit is None:
         hit = _build_scan(ctx, step, carry, steps, per_step)
-        _CACHE[key] = hit
+        _cache_put(key, hit)
     g, per_step_counts = hit
 
     pools = {}

@@ -21,7 +21,7 @@ Byzantine threshold — same parameters as the reference (big_t = n-2t-1).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -91,14 +91,23 @@ def _open_columns(backend, cols: FpArray, n: int, degree: int):
     return vals.reshape(out_shape), nerr
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def randousha(backend, n: int, t: int, k: int, key):
     """Generate k*(n-2t) double sharings (r_t, r_2t) with verification.
 
     backend: SimBackend (shares carry leading party axis) or MeshBackend.
     Returns (r_t [party.., k*(n-2t)], r_2t, ok) — ok False means some party
     dealt inconsistently and the batch must be discarded (ABORT vote,
-    offline_randousha.py:133-146)."""
+    offline_randousha.py:133-146).
+
+    Deliberately NOT jitted at this level: (a) jit would key the compiled
+    program on the backend OBJECT's identity, so every fresh SimBackend
+    silently retraces a multi-second program; (b) eager entry keeps
+    _open_columns' inputs concrete, which routes robust fallback through
+    the host two-phase redo instead of compiling the in-graph Gao EEA into
+    one giant program (the pattern that sporadically crashes this
+    platform's TPU worker). The inner kernels are all shape-cached jits;
+    callers who need ONE compiled program (shard_map, benchmarks) use
+    ``sim_offline_jit`` below or wrap in jit themselves."""
     enc = Encoding(n)
     sim = isinstance(backend, SimBackend)
     lead = (n,) if sim else ()
@@ -131,7 +140,6 @@ def randousha(backend, n: int, t: int, k: int, key):
     return keep_t.reshape(flat), keep_2t.reshape(flat), ok
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def generate_triples(backend, n: int, t: int, k: int, key):
     """Beaver triples from RanDouSha (offline_randousha.py:154-191): draw
     3k double sharings; use (a, b, r): open a*b + r at degree 2t, subtract
@@ -152,7 +160,6 @@ def generate_triples(backend, n: int, t: int, k: int, key):
     return a, b, ab, ok
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def generate_bits(backend, n: int, t: int, k: int, key):
     """Random shared bits via the u/sqrt(u^2) trick
     (offline_randousha.py:194-232). Returns (bits [party.., m], ok)."""
@@ -186,3 +193,17 @@ def _as_cols(backend, x: FpArray) -> FpArray:
 
 def _from_cols(backend, x: FpArray) -> FpArray:
     return x
+
+
+@lru_cache(maxsize=None)
+def sim_offline_jit(program: str, n: int, t: int, k: int):
+    """ONE compiled SimBackend offline program per (program, n, t, k) —
+    the backend is constructed INSIDE so the jit cache is keyed on the
+    parameters, never on a backend object's identity (a fresh
+    SimBackend per call would silently retrace+recompile). Note the
+    compiled program contains the in-graph robust fallback; the eager
+    entry points above are the default for host-level use."""
+    backend = SimBackend(n)
+    fn = {"randousha": randousha, "generate_triples": generate_triples,
+          "generate_bits": generate_bits}[program]
+    return jax.jit(lambda key: fn(backend, n, t, k, key))

@@ -105,6 +105,96 @@ def test_async_mpc_error_party_excluded(rng):
         assert byz in ctxs[i]._error_parties
 
 
+def test_async_mpc_config_faults_and_wb_decoder(rng):
+    """ReconstructionConfig drives the runtime (reference mpc.py:126-131 +
+    RobustDecoderFactory reed_solomon.py:545-558): party 0 is CONFIGURED
+    faulty (induce_faults -> its outgoing R1/R2 shares are random garbage),
+    honest parties are configured with the welch-berlekamp robust decoder.
+    Opens must stay bit-exact, party 0 must be confirmed as an error party,
+    and WB must be the robust decoder that actually ran (party 0 is inside
+    the first k optimistic columns, so the fast path rejects and falls back)."""
+    from honeybadgermpc_tpu.config import ReconstructionConfig
+
+    n, t = 4, 1
+    faulty = 0
+    pre = PreProcessedElements(n, t, seed=71)
+    xs = [rng.randrange(P) for _ in range(4)]
+    x_sh = pre._share_values(FpArray.from_ints(xs))   # [n, 4]
+
+    async def run():
+        router = TestRouter(n, seed=29)
+        ctxs = {}
+
+        async def party(i):
+            cfg = ReconstructionConfig(
+                induce_faults=(i == faulty),
+                decoding_algorithm="welch-berlekamp")
+            ctx = AsyncMpc("sid3", n, t, i, router.sends[i],
+                           router.recvs[i], config=cfg)
+            ctxs[i] = ctx
+
+            async def prog(c):
+                sx = c.ShareArray(FpArray(x_sh.limbs[:, i]))
+                a = await sx.open()
+                b = await (sx + 1).open()
+                return a.to_ints(), b.to_ints()
+
+            return await ctx._run(prog)
+
+        outs = await asyncio.wait_for(
+            asyncio.gather(*[party(i) for i in range(n)]), 600)
+        return outs, ctxs
+
+    outs, ctxs = asyncio.run(run())
+    want1 = [v % P for v in xs]
+    want2 = [(v + 1) % P for v in xs]
+    wb_ran = 0
+    for i, (a, b) in enumerate(outs):
+        if i == faulty:
+            continue
+        assert list(a) == want1 and list(b) == want2
+        assert faulty in ctxs[i]._error_parties
+        wb_ran += ctxs[i].decode_stats["welch-berlekamp"]
+        assert ctxs[i].decode_stats["gao"] == 0
+    assert wb_ran > 0
+
+
+def test_async_mpc_optimistic_fast_path(rng):
+    """Fault-free opens take the optimistic decode+re-encode path and never
+    invoke the robust decoder (reference IncrementalDecoder fast path,
+    reed_solomon.py:305-332)."""
+    n, t = 4, 1
+    pre = PreProcessedElements(n, t, seed=81)
+    xs = [rng.randrange(P) for _ in range(8)]
+    x_sh = pre._share_values(FpArray.from_ints(xs))
+
+    async def run():
+        router = TestRouter(n, seed=31)
+        ctxs = {}
+
+        async def party(i):
+            ctx = AsyncMpc("sid4", n, t, i, router.sends[i], router.recvs[i])
+            ctxs[i] = ctx
+
+            async def prog(c):
+                sx = c.ShareArray(FpArray(x_sh.limbs[:, i]))
+                return (await sx.open()).to_ints()
+
+            return await ctx._run(prog)
+
+        outs = await asyncio.wait_for(
+            asyncio.gather(*[party(i) for i in range(n)]), 300)
+        return outs, ctxs
+
+    outs, ctxs = asyncio.run(run())
+    want = [v % P for v in xs]
+    for i, a in enumerate(outs):
+        assert list(a) == want
+        assert ctxs[i].decode_stats["optimistic"] >= 1
+        assert ctxs[i].decode_stats["gao"] == 0
+        assert ctxs[i].decode_stats["welch-berlekamp"] == 0
+
+
 def test_node_communicator_localhost():
     """n NodeCommunicators over real TCP sockets in one loop."""
     import zmq  # noqa: F401  (skip if missing)
