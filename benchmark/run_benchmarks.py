@@ -351,8 +351,45 @@ def bench_hbavss_batch():
               "secrets/s")
 
 
+def bench_scaling():
+    """Multi-device scaling of the headline open (BASELINE '>=80 %
+    efficiency at 2 hosts' measurement harness): n=64 parties opened over
+    D in {1, 2, 4, 8} devices, 64/D simulated parties per device
+    (HybridBackend under shard_map; D=1 = plain SimBackend). On real
+    multi-chip hardware this reports the ICI scaling curve; on a forced
+    CPU mesh it rehearses the exact program the chips will run. Skips
+    device counts the backend can't provide (the tunneled TPU is 1 chip)."""
+    import jax
+
+    from honeybadgermpc_tpu.parallel.mesh import device_mesh
+    from honeybadgermpc_tpu.parallel.reconstruct import (
+        _sim_reconstruct_jit, make_hybrid_reconstruct)
+    from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
+
+    n, t = 64, 21
+    k = t + 1
+    B = 64 * k                              # small per-step batch
+    pre = PreProcessedElements(n, t, seed=0)
+    pre.generate_rands(B)
+    shares = pre.get_rands(B)               # [n, B]
+    avail = len(jax.devices())
+    for ndev in (1, 2, 4, 8):
+        if ndev > avail:
+            continue
+        if ndev == 1:
+            run = _sim_reconstruct_jit(n, t, False, True)
+            fn = lambda: run(shares.limbs)          # noqa: E731
+        else:
+            hrun = make_hybrid_reconstruct(device_mesh(ndev), n, t)
+            fn = lambda: hrun(shares)               # noqa: E731
+        dt = _time(fn, iters=5)
+        _emit("open_scaling", {"n": n, "t": t, "devices": ndev, "batch": B},
+              B / dt, "shares/s")
+
+
 ALL = {
     "batch_opening": bench_batch_opening,
+    "scaling": bench_scaling,
     "poly_interpolate": bench_poly_interpolate,
     "fft_interpolate": bench_fft_interpolate,
     "gao_decode": bench_gao_decode,

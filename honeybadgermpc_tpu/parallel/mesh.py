@@ -42,6 +42,14 @@ def party_mesh(n_parties: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:n_parties]), ("parties",))
 
 
+def device_mesh(n_devices: int, devices=None) -> Mesh:
+    """A 1-D 'parties' mesh over n_devices devices, for HybridBackend runs
+    where several parties are simulated per device."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_devices, (len(devices), n_devices)
+    return Mesh(np.asarray(devices[:n_devices]), ("parties",))
+
+
 class SimBackend:
     """Party axis = axis `party_axis` of every element shape (default 0)."""
 
@@ -98,6 +106,59 @@ class MeshBackend:
         limbs = jax.lax.all_gather(x.limbs, self.axis, axis=x.limbs.ndim,
                                    tiled=False)
         return FpArray(limbs)
+
+    def broadcast_from(self, x: FpArray, src: int) -> FpArray:
+        g = self.all_gather(x)
+        return FpArray(g.limbs[..., src])
+
+
+class HybridBackend:
+    """n parties over D mesh devices, pp = n // D parties SIMULATED per
+    device (global party id = device * pp + local — device-major, matching
+    a contiguous shard of the global [n, ...] party axis). This is how a
+    real deployment runs more parties than chips: local arrays carry a
+    leading LOCAL party axis [pp, ...] and each collective composes ONE ICI
+    all_to_all / all_gather with local transposes (the SimBackend moves).
+    With D == n it degenerates to MeshBackend's layout; with D == 1 to
+    SimBackend's."""
+
+    def __init__(self, n: int, n_devices: int, axis_name: str = "parties"):
+        assert n % n_devices == 0, (n, n_devices)
+        self.n, self.ndev, self.pp = n, n_devices, n // n_devices
+        self.axis = axis_name
+
+    def my_ids(self):
+        d = jax.lax.axis_index(self.axis)
+        return d * self.pp + jnp.arange(self.pp, dtype=jnp.int32)
+
+    def all_to_all(self, x: FpArray) -> FpArray:
+        """local x[pp, ..., n] -> out[pp, ..., n] with the global-transpose
+        contract out[g_j, ..., g_i] = in[g_i, ..., g_j]: one tiled ICI
+        all_to_all on the last axis, then a local block transpose of the
+        (local source party, local dst party) pair."""
+        limbs = x.limbs                                # [L, pp, ..., n]
+        nd = limbs.ndim
+        y = jax.lax.all_to_all(limbs, self.axis, split_axis=nd - 1,
+                               concat_axis=nd - 1, tiled=True)
+        # y[L, a, ..., i*pp + b] = x_i[L, a, ..., d_self*pp + b]; the pair
+        # (a = src local, b = dst local) still needs swapping
+        shp = y.shape
+        y = y.reshape(shp[:nd - 1] + (self.ndev, self.pp))
+        y = jnp.swapaxes(y, 1, nd)                     # a <-> b
+        return FpArray(y.reshape(shp))
+
+    def all_gather(self, x: FpArray) -> FpArray:
+        """local x[pp, ...] -> out[pp, ..., n]: every party's value on a
+        trailing global-party axis, replicated to each local party."""
+        limbs = x.limbs                                # [L, pp, ...]
+        g = jax.lax.all_gather(limbs, self.axis, axis=0,
+                               tiled=False)            # [D, L, pp, ...]
+        nd = g.ndim
+        g = jnp.moveaxis(g, (0, 2), (nd - 2, nd - 1))  # [L, ..., D, pp]
+        g = g.reshape(g.shape[:-2] + (self.n,))
+        out = jnp.broadcast_to(g[:, None],
+                               (g.shape[0], self.pp) + g.shape[1:])
+        return FpArray(out)
 
     def broadcast_from(self, x: FpArray, src: int) -> FpArray:
         g = self.all_gather(x)

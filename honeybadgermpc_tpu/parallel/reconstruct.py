@@ -427,6 +427,43 @@ def make_sharded_reconstruct(mesh, n: int, t: int,
     return run
 
 
+def make_hybrid_reconstruct(mesh, n: int, t: int,
+                            use_omega_powers: bool = False,
+                            robust: bool = True):
+    """Multi-chip reconstruction with MORE PARTIES THAN DEVICES: n parties
+    over mesh's D devices, n/D simulated per device (HybridBackend — the
+    deployment shape when a 64-party network runs on an 8-chip slice).
+    Global shares [n, B] sharded contiguously on the party axis ->
+    (secrets [n, B], errors [n]). Same program text as the SimBackend and
+    MeshBackend paths; only the collective implementations differ."""
+    from jax.sharding import PartitionSpec as P
+
+    from .mesh import HybridBackend
+
+    ndev = int(np.prod(mesh.devices.shape))
+    backend = HybridBackend(n, ndev)
+
+    def local_fn(limbs):                     # local [L, n/D, B]
+        secrets, nerr = batch_reconstruct(
+            backend, FpArray(limbs), n, t, use_omega_powers, robust)
+        return secrets.limbs, nerr
+
+    f = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, "parties", None),),
+        out_specs=(P(None, "parties", None), P("parties")),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(shares: FpArray):
+        sec, nerr = f(shares.limbs)
+        return FpArray(sec), nerr
+
+    return run
+
+
 def inject_share_faults(shares: FpArray, party_ids, fault_parties, key):
     """Fault injection for tests/benchmarks (config.py induce_faults /
     mpc.py:126-131): listed parties replace their shares with random field

@@ -207,3 +207,42 @@ def sim_offline_jit(program: str, n: int, t: int, k: int):
     fn = {"randousha": randousha, "generate_triples": generate_triples,
           "generate_bits": generate_bits}[program]
     return jax.jit(lambda key: fn(backend, n, t, k, key))
+
+
+def sharded_offline_jit(program: str, mesh, n: int, t: int, k: int):
+    """The offline program under shard_map over a 'parties' mesh: one party
+    per device, ICI collectives (MeshBackend). Each party's dealt secrets
+    come from fold_in(key, party_id) — the replicated key stays secret-free
+    per party exactly as each reference party draws its own randomness
+    (offline_randousha.py:47-51). Returns a jitted fn(key) -> per-party
+    outputs with a leading global party axis.
+
+    Outputs: randousha -> (r_t [n, m], r_2t [n, m], ok [n]);
+    generate_triples -> (a, b, ab [n, k], ok [n]); generate_bits ->
+    (bits [n, m], ok [n])."""
+    from jax.sharding import PartitionSpec as PS
+
+    from ..parallel.mesh import MeshBackend
+
+    backend = MeshBackend(n)
+    fn = {"randousha": randousha, "generate_triples": generate_triples,
+          "generate_bits": generate_bits}[program]
+
+    def local_fn(key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("parties"))
+        out = fn(backend, n, t, k, key)
+        arrs, ok = out[:-1], out[-1]
+        return tuple(a.limbs[:, None] for a in arrs) + (ok[None],)
+
+    nout = {"randousha": 2, "generate_triples": 3, "generate_bits": 1}[program]
+    f = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(PS(),),
+        out_specs=tuple([PS(None, "parties", None)] * nout) + (PS("parties"),),
+        check_vma=False)
+
+    @jax.jit
+    def run(key):
+        out = f(key)
+        return tuple(FpArray(a) for a in out[:-1]) + (out[-1],)
+
+    return run
