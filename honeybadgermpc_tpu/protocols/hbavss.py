@@ -28,7 +28,8 @@ from ..crypto.poly_commit_lin import PolyCommitLin
 from ..field import GF
 from ..elliptic_curve import Subgroup
 from ..polynomial import polynomials_over
-from ..utils.misc import wrap_send, subscribe_recv
+from ..utils.misc import (print_exception_callback, subscribe_recv,
+                          wrap_send)
 from .avid import AVID
 from .reliablebroadcast import reliablebroadcast
 
@@ -217,9 +218,12 @@ class HbAvssBatch:
         self.field = GF(Subgroup.BLS12_381)
         self.poly = polynomials_over(self.field)
         self._recv_task, self._subscribe = subscribe_recv(recv)
+        self._tasks = []
 
     def kill(self):
         self._recv_task.cancel()
+        for t in self._tasks:
+            t.cancel()
 
     def _mk(self, tag):
         return wrap_send(tag, self.send), self._subscribe(tag)
@@ -298,56 +302,70 @@ class HbAvssBatch:
                                 shared_key, self.sk)
             vote_bcast(("IMPLICATE", shared_key, proof))
 
+        # The vote handler OUTLIVES this party's own output (exactly like
+        # HbAvssLight above, reference hbavss.py keeps _process_avss_msg
+        # running): honest parties must keep serving IMPLICATE/RECOVER
+        # after they return, or a cheated party whose implicate arrives
+        # late never recovers its shares.
+        output = asyncio.Future()
+        state = {"shares": shares, "ok": ok, "in_recovery": False}
         oks = set()
         recovery = defaultdict(dict)      # b -> {x: share}
-        in_recovery = False
-        while True:
-            sender, msg = await vote_recv()
-            if msg[0] == "OK":
-                oks.add(sender)
-                if len(oks) >= 2 * self.t + 1 and shares is not None:
-                    # dispersal agreement necessarily completed before our
-                    # retrieve() resolved (ok_future gates it), so this
-                    # await returns immediately — and surfaces any error
-                    # instead of leaking the task on the return path
-                    await disperse
-                    return shares
-            elif msg[0] == "IMPLICATE" and not in_recovery:
-                _, their_key, proof = msg
-                if not _dleq_verify(self.g, self.pks[sender], epk,
-                                    their_key, proof):
-                    continue
-                try:
-                    their_blob = await avid.retrieve(avid_tag, sender)
-                    payload = symmetric.decrypt(their_key, their_blob)
-                    valid = self.pc.batch_verify_eval(
-                        commits, sender + 1,
-                        [ZR(s) for s, _, _ in payload],
-                        [ZR(a) for _, a, _ in payload],
-                        [w for _, _, w in payload])
-                except (ValueError, TypeError):
-                    valid = False
-                if not valid:
-                    in_recovery = True
-                    if ok:
-                        my_payload = symmetric.decrypt(shared_key, my_blob)
-                        vote_bcast(("RECOVER",
-                                    [(s, a) for s, a, _ in my_payload],
-                                    [w for _, _, w in my_payload]))
-            elif msg[0] == "RECOVER":
-                _, sa, ws = msg
-                good = all(
-                    self.pc.verify_eval(commits[b], sender + 1,
-                                        ZR(sa[b][0]), ZR(sa[b][1]), ws[b])
-                    for b in range(B))
-                if good:
-                    for b in range(B):
-                        recovery[b][sender + 1] = sa[b][0]
-                if shares is None and \
-                        all(len(recovery[b]) >= self.t + 1 for b in range(B)):
-                    shares = [
-                        int(self.poly.interpolate_at(
-                            list(recovery[b].items())[:self.t + 1],
-                            self.my_id + 1))
-                        for b in range(B)]
-                    vote_bcast(("OK",))
+
+        async def handler():
+            while True:
+                sender, msg = await vote_recv()
+                if msg[0] == "OK":
+                    oks.add(sender)
+                    if len(oks) >= 2 * self.t + 1 and \
+                            state["shares"] is not None and not output.done():
+                        output.set_result(state["shares"])
+                elif msg[0] == "IMPLICATE" and not state["in_recovery"]:
+                    _, their_key, proof = msg
+                    if not _dleq_verify(self.g, self.pks[sender], epk,
+                                        their_key, proof):
+                        continue
+                    try:
+                        their_blob = await avid.retrieve(avid_tag, sender)
+                        payload = symmetric.decrypt(their_key, their_blob)
+                        valid = self.pc.batch_verify_eval(
+                            commits, sender + 1,
+                            [ZR(s) for s, _, _ in payload],
+                            [ZR(a) for _, a, _ in payload],
+                            [w for _, _, w in payload])
+                    except (ValueError, TypeError):
+                        valid = False
+                    if not valid:
+                        state["in_recovery"] = True
+                        if state["ok"]:
+                            my_payload = symmetric.decrypt(shared_key, my_blob)
+                            vote_bcast(("RECOVER",
+                                        [(s, a) for s, a, _ in my_payload],
+                                        [w for _, _, w in my_payload]))
+                elif msg[0] == "RECOVER":
+                    _, sa, ws = msg
+                    good = all(
+                        self.pc.verify_eval(commits[b], sender + 1,
+                                            ZR(sa[b][0]), ZR(sa[b][1]), ws[b])
+                        for b in range(B))
+                    if good:
+                        for b in range(B):
+                            recovery[b][sender + 1] = sa[b][0]
+                    if state["shares"] is None and all(
+                            len(recovery[b]) >= self.t + 1 for b in range(B)):
+                        state["shares"] = [
+                            int(self.poly.interpolate_at(
+                                list(recovery[b].items())[:self.t + 1],
+                                self.my_id + 1))
+                            for b in range(B)]
+                        vote_bcast(("OK",))
+
+        task = asyncio.ensure_future(handler())
+        task.add_done_callback(print_exception_callback)
+        self._tasks.append(task)
+        shares_out = await output
+        # dispersal agreement necessarily completed before our retrieve()
+        # resolved (ok_future gates it), so this await returns immediately —
+        # and surfaces any error instead of leaking the task
+        await disperse
+        return shares_out

@@ -43,7 +43,7 @@ def merkle_verify(n_leaves: int, leaf: bytes, root: bytes, branch, index: int) -
     size = 2 ** ceil(log2(max(n_leaves, 1))) if n_leaves > 1 else 1
     if index < 0 or index >= n_leaves:
         return False
-    if len(branch) != max(1, size.bit_length() - 1):
+    if len(branch) != size.bit_length() - 1:  # log2(size); 0 for one leaf
         return False
     tmp = _hash(leaf)
     t = index

@@ -95,3 +95,47 @@ def test_avid_disperse_retrieve():
             a.kill()
 
     asyncio.run(run())
+
+
+def test_avid_byzantine_leader_cross_party_retrieve():
+    """A Byzantine leader sends party 2 corrupted VAL stripes. Dispersal
+    still completes via the READY quorum of the other parties, and EVERY
+    party — including the cheated one, whose own stripes are useless —
+    retrieves ANOTHER party's payload from the t+1 honest responders
+    (reference avid.py:67-121 retrieval guarantees)."""
+    n, f = 4, 1
+    victim = 2
+
+    async def run():
+        router = TestRouter(n, seed=21)
+        payloads = [f"payload-{i}".encode() * 5 for i in range(n)]
+
+        def evil_send(dest, msg):
+            if msg[0] == "VAL" and dest == victim:
+                roots, payload = msg[1], msg[2]
+                bad = [(b"\x00" * len(s), br) for s, br in payload]
+                msg = ("VAL", roots, bad)
+            router.sends[0](dest, msg)
+
+        avids = [AVID(n, f, 0, router.recvs[i],
+                      evil_send if i == 0 else router.sends[i], n)
+                 for i in range(n)]
+
+        async def party(i):
+            disp = asyncio.ensure_future(avids[i].disperse(
+                "sid", i, payloads if i == 0 else None))
+            cross = await avids[i].retrieve("sid", 1)   # another party's
+            own = await avids[i].retrieve("sid", i)
+            await disp
+            return cross, own
+
+        outs = await asyncio.wait_for(
+            asyncio.gather(*[party(i) for i in range(n)]), 60)
+        for a in avids:
+            a.kill()
+        return outs
+
+    outs = asyncio.run(run())
+    for i, (cross, own) in enumerate(outs):
+        assert cross == f"payload-1".encode() * 5, i
+        assert own == f"payload-{i}".encode() * 5, i

@@ -155,6 +155,57 @@ def test_hbavss_light_client_mode_external_dealer():
     assert rec2 == secret
 
 
+def test_hbavss_batch_cheating_dealer_recovery(monkeypatch):
+    """HbAvssBatch implicate -> recovery end-to-end (reference
+    tests/test_hbavss.py:28-61 depth): the dealer corrupts party 2's
+    encrypted AVID payload; party 2 IMPLICATEs with a DLEQ proof, honest
+    parties verify by retrieving party 2's blob cross-party, enter
+    RECOVERY, and party 2 interpolates t+1 verified shares — ending with
+    CORRECT shares of every secret."""
+    n, t = 4, 1
+    victim = 2
+    g, h, pks, sks = get_avss_params(n, t)
+    crs = gen_pc_const_crs(t, g=g, h=h, seed=15)
+    secrets = [44, 55]
+
+    # the dealer's per-party payload encryptions happen in avss() in party
+    # order; corrupt the victim's (3rd) one
+    import honeybadgermpc_tpu.crypto.symmetric as sym
+    calls = {"n": 0}
+    orig_encrypt = sym.encrypt
+
+    def bad_encrypt(key, obj):
+        blob = orig_encrypt(key, obj)
+        calls["n"] += 1
+        if calls["n"] == victim + 1:
+            blob = blob[:-1] + bytes([blob[-1] ^ 1])
+        return blob
+
+    monkeypatch.setattr(sym, "encrypt", bad_encrypt)
+
+    async def run():
+        router = TestRouter(n, seed=17)
+        instances = [HbAvssBatch(pks, sks[i], crs, n, t, i,
+                                 router.sends[i], router.recvs[i])
+                     for i in range(n)]
+        outs = await asyncio.wait_for(asyncio.gather(*[
+            instances[i].avss(0, secrets if i == 0 else None, dealer_id=0)
+            for i in range(n)]), 300)
+        for inst in instances:
+            inst.kill()
+        return outs
+
+    outs = asyncio.run(run())
+    assert calls["n"] >= n  # the corruption actually happened
+    for b, secret in enumerate(secrets):
+        # consistency including the victim's RECOVERED share
+        rec = open_from_shares({i + 1: outs[i][b] for i in range(n)}, t)
+        assert rec == secret
+        rec2 = open_from_shares(
+            {victim + 1: outs[victim][b], 4: outs[3][b]}, t)
+        assert rec2 == secret
+
+
 def test_hbavss_batch():
     n, t = 4, 1
     g, h, pks, sks = get_avss_params(n, t)
