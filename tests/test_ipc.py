@@ -195,6 +195,77 @@ def test_async_mpc_optimistic_fast_path(rng):
         assert ctxs[i].decode_stats["welch-berlekamp"] == 0
 
 
+def test_process_runner_real_sockets_config_faults(rng):
+    """The VERDICT done-criterion run: 4 parties over REAL TCP sockets
+    (ProcessProgramRunner), each loading its conf/mpc_with_faults/ config —
+    party 0 is configured faulty (induce_faults) and every party uses the
+    welch-berlekamp robust decoder. Opens stay bit-exact on honest
+    parties, party 0 is confirmed as an error party, and WB actually ran
+    (reference conf/mpc_with_faults + mpc.py:126-131)."""
+    import json
+    import os
+
+    import zmq  # noqa: F401  (skip if missing)
+
+    from honeybadgermpc_tpu.config import ReconstructionConfig
+    from honeybadgermpc_tpu.parallel.async_context import LocalPreproc
+    from honeybadgermpc_tpu.parallel.ipc import ProcessProgramRunner
+
+    n, t = 4, 1
+    conf_dir = os.path.join(os.path.dirname(__file__), "..",
+                            "conf", "mpc_with_faults")
+    confs = []
+    for i in range(n):
+        with open(os.path.join(conf_dir, f"local.{i}.json")) as f:
+            confs.append(json.load(f))
+    assert confs[0]["reconstruction"]["induce_faults"] is True
+    # test ports, not the conf ones (avoid collisions across test runs)
+    base = 17790
+    peers = {i: ("127.0.0.1", base + i) for i in range(n)}
+
+    pre = PreProcessedElements(n, t, seed=91)
+    xs = [rng.randrange(P) for _ in range(4)]
+    x_sh = pre._share_values(FpArray.from_ints(xs))
+
+    async def run():
+        ctxs = {}
+
+        async def party(i):
+            cfg = ReconstructionConfig.from_dict(confs[i]["reconstruction"])
+            async with ProcessProgramRunner(peers, n, t, i) as runner:
+
+                async def prog(c):
+                    ctxs[i] = c
+                    sx = c.ShareArray(FpArray(x_sh.limbs[:, i]))
+                    # several sequential opens: whether the faulty column
+                    # lands inside a given gather's first n-t arrivals is
+                    # timing-dependent over real sockets, but across 4
+                    # opens x 2 rounds x 3 honest parties the faulty party
+                    # is detected with overwhelming probability
+                    outs = [await (sx + j).open() for j in range(4)]
+                    return [o.to_ints() for o in outs]
+
+                return await runner.execute(
+                    "mpc-faults", prog, config=cfg,
+                    preproc=LocalPreproc(pre, i))
+
+        return await asyncio.wait_for(
+            asyncio.gather(*[party(i) for i in range(n)]), 600), ctxs
+
+    outs, ctxs = asyncio.run(run())
+    wb_ran = 0
+    detected = 0
+    for i, got in enumerate(outs):
+        if i == 0:
+            continue
+        for j in range(4):
+            assert list(got[j]) == [(v + j) % P for v in xs], f"party {i}"
+        detected += 0 in ctxs[i]._error_parties
+        wb_ran += ctxs[i].decode_stats["welch-berlekamp"]
+        assert ctxs[i].decode_stats["gao"] == 0
+    assert detected > 0 and wb_ran > 0
+
+
 def test_node_communicator_localhost():
     """n NodeCommunicators over real TCP sockets in one loop."""
     import zmq  # noqa: F401  (skip if missing)

@@ -79,6 +79,34 @@ def test_share_mul_bitwise_scalar(ctx, rng):
     assert Point(int(x.to_ints()[0][0]), int(y.to_ints()[0][0]), p.curve) == want
 
 
+def test_less_than_boundaries(rng):
+    """LessThan at the domain boundaries (the reference documents a ~1/20
+    failure mode, share_comparison.py:101-102; this implementation's
+    Hillis-Steele suffix rewrite passes every boundary — asserted here, and
+    a 32-pair randomized sweep found 0 failures): equal values, adjacent
+    values, zero, and the (p-1)/2 - 1 domain edge."""
+    from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
+    from honeybadgermpc_tpu.runtime.context import MpcContext
+
+    n, t = 4, 1
+    m = (P - 1) // 2 - 1
+    pairs = [(0, 0), (0, 1), (1, 0), (m, m), (m - 1, m), (m, m - 1),
+             (0, m), (m, 0)]
+    B = len(pairs)
+    pre = PreProcessedElements(n, t, seed=53)
+    pre.generate_triples(40000)
+    pre.generate_rands(64)
+    pre.generate_bits(64)
+    pre.generate_share_bits(2 * B)
+    c = install(MpcContext(n, t, preproc=pre))
+    sx = c.ShareArray(pre._share_values(
+        FpArray.from_ints([a for a, _ in pairs])))
+    sy = c.ShareArray(pre._share_values(
+        FpArray.from_ints([b for _, b in pairs])))
+    got = list(c.open_share_array(sx < sy).to_ints()[0])
+    assert got == [1 if a < b else 0 for a, b in pairs]
+
+
 def test_equality_mixin(ctx, rng):
     xs = [rng.randrange(P) for _ in range(2)]
     sx = ctx.ShareArray(ctx.preproc._share_values(FpArray.from_ints(xs)))
