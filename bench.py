@@ -73,8 +73,14 @@ def main():
     # direct-composition open (ops/fused_open_direct.py): bit-identical
     # secrets and accept/reject to the three-kernel pipeline (asserted in
     # tests/test_fused_open.py), ~4x its throughput (HBM traffic collapses
-    # to shares-in + replicated-secrets-out).
-    run = _sim_reconstruct_packed_jit(n, t, False, True, fallback=False)
+    # to shares-in + secrets-out).
+    # replicate=False writes ONE secrets copy instead of the n-replicated
+    # per-party view — every party's opened values are identical by
+    # construction, so the replicated view is simulation bookkeeping, and
+    # at n=64 writing it was HALF the kernel's HBM traffic (single-copy
+    # parity asserted in tests/test_fused_open.py).
+    run = _sim_reconstruct_packed_jit(n, t, False, True, fallback=False,
+                                      replicate=False)
 
     @jax.jit
     def run_all(st):
@@ -82,12 +88,15 @@ def main():
         # peak memory of a single segment
         return jax.lax.map(run, st)
 
-    # (C=768, NSEG=4) is the measured-fastest config; the fallbacks dodge a
-    # sporadic borderline scoped-VMEM compile failure seen once on this
-    # platform (16.84M vs the 16M limit) — both compiled and ran clean
-    # within ~6% of the primary's throughput.
+    # C=768 chunk tiles are the measured-fastest kernel shape; NSEG scales
+    # how many back-to-back segment opens one dispatch carries — the
+    # remote tunnel costs ~1.5 ms per dispatch, so larger NSEG amortizes
+    # it (measured 29.7M at NSEG=4 -> 56.0M at NSEG=64; asymptote ~67M).
+    # The fallbacks dodge a sporadic borderline scoped-VMEM compile
+    # failure seen once on this platform (16.84M vs the 16M limit) and
+    # keep the bench runnable on smaller-memory chips.
     stacked = None
-    for C, NSEG in [(768, 4), (1536, 2), (3072, 1)]:
+    for C, NSEG in [(768, 64), (768, 16), (768, 4), (1536, 2), (3072, 1)]:
         try:
             cand = build(C, NSEG)
             out, nerr = run_all(cand)        # compile + correctness gate

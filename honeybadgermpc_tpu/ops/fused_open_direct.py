@@ -226,11 +226,20 @@ def _direct_call(n: int, k: int, cpad: int, points: tuple):
 
 
 def sim_open_direct_packed(packed, n: int, t: int, points: tuple,
-                           robust: bool = False):
+                           robust: bool = False, replicate: bool = True):
     """Direct-composition open on PACKED shares [PL, n, B] (B % (t+1) == 0)
     -> (secrets PACKED [PL, n, B] — the per-party replicated view — and
     nerr [n] int32, mismatches charged to the offending SOURCE party;
     parties 0..t report 0).
+
+    replicate=False returns ONE copy of the secrets [PL, B] instead of the
+    n-replicated per-party view. Every party's opened values are identical
+    by construction (they decode the same gathered R2 vector), so the
+    replicated view is pure simulation bookkeeping — and materializing it
+    is half this kernel's HBM traffic (write n*32 B per opened share vs 32;
+    the n-party share READ, 2 KB/share at n=64, is the protocol's real
+    data and stays). Only valid with robust=False (the fallback branch
+    produces the replicated layout).
 
     robust=False (detect-only): callers rerun through
     parallel/reconstruct.py::host_robust_redo when sum(nerr) > 0.
@@ -238,6 +247,7 @@ def sim_open_direct_packed(packed, n: int, t: int, points: tuple,
     program (Gao error correction) when any mismatch is seen — for opens
     living inside an enclosing jit (e.g. the MiMC round scan) where a
     host-level two-phase redo is impossible."""
+    assert replicate or not robust, "single-copy output is detect-only"
     k = t + 1
     B = packed.shape[-1]
     assert B % k == 0, (B, k)
@@ -254,6 +264,8 @@ def sim_open_direct_packed(packed, n: int, t: int, points: tuple,
 
     nerr = jnp.concatenate(
         [jnp.zeros((k,), jnp.int32), jnp.sum(errs[:nv], axis=-1)])
+    if not replicate:
+        return sec[:, :, :C].reshape(PL, B), nerr
     secrets = jnp.broadcast_to(
         sec[:, None, :, :C], (PL, n, k, C)).reshape(PL, n, B)
 

@@ -165,7 +165,8 @@ def robust_open_single(backend, share: FpArray, n: int, t: int,
 
 @lru_cache(maxsize=None)
 def _sim_reconstruct_packed_jit(n: int, t: int, use_omega_powers: bool,
-                                robust: bool, fallback: bool = True):
+                                robust: bool, fallback: bool = True,
+                                replicate: bool = True):
     """Fused open over PACKED shares [PL, n, B] (the dealer's at-rest
     format) -> (secrets PACKED [PL, n, B], nerr). TPU fused path only —
     callers holding unpacked limbs use _sim_reconstruct_jit.
@@ -175,7 +176,9 @@ def _sim_reconstruct_packed_jit(n: int, t: int, use_omega_powers: bool,
     and reruns robustly (see sim_batch_reconstruct). In this detect-only
     mode the single-kernel direct-composition open (bit-identical secrets
     and accept/reject, ops/fused_open_direct.py) replaces the three-kernel
-    pipeline when its VMEM budget fits."""
+    pipeline when its VMEM budget fits. replicate=False additionally
+    returns ONE secrets copy [PL, B] instead of the n-replicated view
+    (halves HBM traffic — see sim_open_direct_packed)."""
     from ..ops.fused_open_direct import direct_fits
     enc = Encoding(n, use_omega_powers=use_omega_powers)
     points = tuple(int(x) % mont.P for x in enc.points)
@@ -184,7 +187,8 @@ def _sim_reconstruct_packed_jit(n: int, t: int, use_omega_powers: bool,
         @jax.jit
         def run_direct(packed):
             from ..ops.fused_open_direct import sim_open_direct_packed
-            return sim_open_direct_packed(packed, n, t, points)
+            return sim_open_direct_packed(packed, n, t, points,
+                                          replicate=replicate)
 
         return run_direct
 

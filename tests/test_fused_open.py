@@ -111,6 +111,28 @@ def test_direct_open_bitexact(n, t):
         assert list(got[j]) == secrets
 
 
+def test_direct_open_single_copy_matches_replicated():
+    """replicate=False returns ONE secrets copy bit-identical to any
+    party's slice of the replicated view (the bench's low-traffic mode)."""
+    from honeybadgermpc_tpu.ops.fused_open_direct import \
+        sim_open_direct_packed
+    n, t = 8, 2
+    rng = random.Random(59)
+    B = 3 * (t + 1)
+    secrets, shares, points = _deal(rng, n, t, B)
+    packed = jax.jit(pack_limbs)(shares.limbs)
+    s_rep, e_rep = jax.jit(
+        lambda p: sim_open_direct_packed(p, n, t, points))(packed)
+    s_one, e_one = jax.jit(
+        lambda p: sim_open_direct_packed(p, n, t, points,
+                                         replicate=False))(packed)
+    assert np.array_equal(np.asarray(e_rep), np.asarray(e_one))
+    assert s_one.shape == (s_rep.shape[0], B)
+    assert np.array_equal(np.asarray(s_rep)[:, 0], np.asarray(s_one))
+    got = FpArray(unpack_limbs(s_one[:, None])).to_ints()
+    assert list(got[0]) == secrets
+
+
 def test_direct_open_detects_faults():
     """Accept/reject parity: any share off the degree-t polynomial trips
     both the faithful validation and the direct predicate."""
