@@ -99,8 +99,14 @@ class FpArray:
     @classmethod
     def rand(cls, key, shape=()):
         """Uniform field elements (statistical distance < 2^-120 from
-        uniform: 256 random bits reduced mod the 255-bit p)."""
-        bits = jax.random.bits(key, (L,) + tuple(shape), dtype=jnp.uint32) & jnp.uint32(0xFFFF)
+        uniform: 256 random bits reduced mod the 255-bit p). Draws L/2
+        full 32-bit words and splits them into the 16-bit limbs — half the
+        PRNG work of drawing L masked words (the PRNG is a measurable
+        slice of the offline-phase programs)."""
+        words = jax.random.bits(key, (L // 2,) + tuple(shape),
+                                dtype=jnp.uint32)
+        bits = jnp.stack([words & jnp.uint32(0xFFFF), words >> 16],
+                         axis=1).reshape((L,) + tuple(shape))
         return cls.from_limbs_plain(bits)
 
     # -- host extraction ---------------------------------------------------

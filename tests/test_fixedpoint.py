@@ -50,9 +50,12 @@ def test_fixedpoint_lt(ctx):
     assert list(lt2.to_ints()[0]) == [1, 0]
 
 
-def test_fixedpoint_random_grid(ctx, rng):
+def test_fixedpoint_random_and_division_grid(ctx, rng):
     """Random-valued add/sub/mul grid like the reference's
-    tests/progs/test_fixedpoint.py (random * 100 vs random * -100)."""
+    tests/progs/test_fixedpoint.py (random * 100 vs random * -100), plus
+    division by positive/negative/fractional public constants (reference
+    FixedPoint.div). One test so the batch-3 multiply/truncation kernels
+    compile once (CPU suite time is compile-dominated)."""
     av = [rng.random() * 100 for _ in range(3)]
     bv = [rng.random() * -100 for _ in range(3)]
     a = FixedPointArray(ctx, av)
@@ -63,41 +66,36 @@ def test_fixedpoint_random_grid(ctx, rng):
     assert np.allclose((a - b).open(), np.array(av) - bv, atol=1e-4)
     assert np.allclose((a * b).open(), np.array(av) * np.array(bv),
                        atol=1e-3)
+    d = FixedPointArray(ctx, [10.0, -7.5, 0.375])
+    assert np.allclose(d.div(4).open(), [2.5, -1.875, 0.09375], atol=1e-3)
+    assert np.allclose(d.div(-2).open(), [-5.0, 3.75, -0.1875], atol=1e-3)
+    assert np.allclose(d.div(0.5).open(), [20.0, -15.0, 0.75], atol=1e-3)
 
 
 def test_fixedpoint_ltz_negative_boundaries(ctx):
     """Sign test at the boundaries: zero is NOT negative, one ulp below
     zero is, one ulp above is not (reference ltz, fixedpoint.py:266-268)."""
     ulp = 2.0 ** -32
-    vals = [0.0, ulp, -ulp, 100.25, -100.25]
+    vals = [0.0, ulp, -ulp]
     a = FixedPointArray(ctx, vals)
     got = ctx.open_share_array(a.ltz())
-    assert list(got.to_ints()[0]) == [0, 0, 1, 0, 1]
+    assert list(got.to_ints()[0]) == [0, 0, 1]
 
 
 def test_fixedpoint_trunc_and_div2m_edges(ctx):
     """Deterministic trunc/div2m on exact and boundary values: x a
-    multiple of 2^m, one above, one below the next multiple, and zero
+    multiple of 2^m, one above, and one below the next multiple
     (reference div2m/trunc, fixedpoint.py:184-211)."""
     from honeybadgermpc_tpu.models.fixedpoint import K, div2m, trunc
 
     m = 32
-    xs = [5 << m, (5 << m) + 1, (6 << m) - 1, 0]
+    xs = [5 << m, (5 << m) + 1, (6 << m) - 1]
     zero = ctx.from_preproc(ctx.preproc.get_zeros(len(xs)))
     x = ctx.ShareArray(zero.v + FpArray.from_ints(xs), zero.t)
     q = ctx.open_share_array(trunc(ctx, x, K, m))
-    assert list(q.to_ints()[0]) == [5, 5, 5, 0]
+    assert list(q.to_ints()[0]) == [5, 5, 5]
     r = ctx.open_share_array(div2m(ctx, x, K, m))
-    assert list(r.to_ints()[0]) == [0, 1, (1 << m) - 1, 0]
-
-
-def test_fixedpoint_division_grid(ctx):
-    """Division by positive/negative/fractional public constants
-    (reference FixedPoint.div)."""
-    a = FixedPointArray(ctx, [10.0, -7.5, 0.375])
-    assert np.allclose(a.div(4).open(), [2.5, -1.875, 0.09375], atol=1e-3)
-    assert np.allclose(a.div(-2).open(), [-5.0, 3.75, -0.1875], atol=1e-3)
-    assert np.allclose(a.div(0.5).open(), [20.0, -15.0, 0.75], atol=1e-3)
+    assert list(r.to_ints()[0]) == [0, 1, (1 << m) - 1]
 
 
 def test_less_than_mixin_field(ctx, rng):
