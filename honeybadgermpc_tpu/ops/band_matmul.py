@@ -104,11 +104,13 @@ def band_matmul_limbs(a_limbs, mat_key: tuple):
     bpad = -(-B // tbw_probe) * tbw_probe
     call, w, tbw, mp = _band_call(mat_key, k, m, bpad)
     packed = pack_limbs(a_limbs)                   # [PL, B, k]
-    at = jnp.swapaxes(packed, 1, 2)                # [PL, k, B]
     if bpad != B:
-        at = jnp.concatenate(
-            [at, jnp.zeros((PL, k, bpad - B), jnp.uint32)], axis=-1)
-    tiled = at.reshape(PL, k, bpad // tbw, tbw).transpose(2, 0, 1, 3)
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((PL, bpad - B, k), jnp.uint32)], axis=1)
+    # ONE transpose pass each way (a swapaxes + reshape + transpose chain
+    # here lowered to multiple full-tensor copy passes, ~60% of the band
+    # path's wall time at the offline-program shapes)
+    tiled = packed.reshape(PL, bpad // tbw, tbw, k).transpose(1, 0, 3, 2)
     out = call(tiled, w)                           # [nblk, PL, mp, tbw]
-    flat = out.transpose(1, 2, 0, 3).reshape(PL, mp, bpad)
-    return jnp.swapaxes(unpack_limbs(flat[:, :m, :B]), 1, 2)
+    flat = out.transpose(1, 0, 3, 2).reshape(PL, bpad, mp)
+    return unpack_limbs(flat[:, :B, :m])

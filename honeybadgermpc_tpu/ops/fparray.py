@@ -40,6 +40,7 @@ _jit_sqr = jax.jit(mont.mont_sqr)
 _jit_neg = jax.jit(mont.neg_mod)
 _jit_inv = jax.jit(mont.inv_mod)
 _jit_to_mont = jax.jit(mont.to_mont)
+_jit_redc384 = jax.jit(mont.redc384)
 _jit_from_mont = jax.jit(mont.from_mont)
 _jit_sqrt = jax.jit(mont.sqrt_mod)
 _jit_pow = jax.jit(mont.pow_const, static_argnums=1)
@@ -98,16 +99,37 @@ class FpArray:
 
     @classmethod
     def rand(cls, key, shape=()):
-        """Uniform field elements (statistical distance < 2^-120 from
-        uniform: 256 random bits reduced mod the 255-bit p). Draws L/2
-        full 32-bit words and splits them into the 16-bit limbs — half the
-        PRNG work of drawing L masked words (the PRNG is a measurable
-        slice of the offline-phase programs)."""
-        words = jax.random.bits(key, (L // 2,) + tuple(shape),
+        """Uniform field elements, statistical distance < 2^-129 from
+        uniform: a 384-bit draw sent through a standalone 9-round
+        Montgomery reduction (ops/montgomery.py::redc384). The canonical
+        output limbs are used DIRECTLY as the Montgomery representation —
+        the represented value is T*2^-400 mod p, a fixed bijection of the
+        uniform draw, so no to-Montgomery conversion is needed (that
+        mont_mul was ~4x the PRNG's own cost in the offline programs).
+        Draws full 32-bit words and splits them into 16-bit limbs.
+
+        On TPU at batch >= 1024 the whole pipeline (Threefry PRF + the
+        reduction) runs as one register-resident Pallas kernel whose only
+        HBM traffic is the output (ops/pallas_field.py::rand_limbs_pallas);
+        the two paths draw from different counter layouts, so the same key
+        yields different (equally uniform) values on CPU vs TPU."""
+        shape = tuple(shape)
+        numel = 1
+        for d in shape:
+            numel *= d
+        if numel and mont._use_pallas(numel):
+            from .pallas_field import rand_limbs_pallas
+            kd = jnp.asarray(key)
+            if jnp.issubdtype(kd.dtype, jax.dtypes.prng_key):
+                kd = jax.random.key_data(key)
+            limbs = rand_limbs_pallas(kd.astype(jnp.uint32).reshape(2),
+                                      numel)
+            return cls(limbs.reshape((L,) + shape))
+        words = jax.random.bits(key, (mont.RAND_LIMBS // 2,) + tuple(shape),
                                 dtype=jnp.uint32)
         bits = jnp.stack([words & jnp.uint32(0xFFFF), words >> 16],
-                         axis=1).reshape((L,) + tuple(shape))
-        return cls.from_limbs_plain(bits)
+                         axis=1).reshape((mont.RAND_LIMBS,) + tuple(shape))
+        return cls(_jit_redc384(bits))
 
     # -- host extraction ---------------------------------------------------
     def to_ints(self) -> np.ndarray:

@@ -214,6 +214,41 @@ def mont_sqr(a):
     return mont_mul(a, a)
 
 
+RAND_LIMBS = 24        # 384-bit draws: distance to uniform mod p < 2^-129
+
+
+def redc384(t_limbs):
+    """Canonical limbs (< p) of T * 2^-144 mod p from a 384-bit value
+    T given as uint32[24, ...] 16-bit limbs (little-endian).
+
+    This is the reduction half of the CIOS multiplier run standalone: nine
+    rounds of (m = -t/p mod 2^16; t += m*p; t >>= 16). Nine rounds leave
+    value < 2^(384-144) + p < 2p, so one conditional subtract
+    canonicalizes. Used by FpArray.rand: multiplication by the constant
+    2^-144 is a bijection on Z_p, so T uniform on [0, 2^384) gives an
+    output within p/2^384 < 2^-129 of uniform — unlike reducing a 256-bit
+    draw, where 2^256 ~ 2.21p makes some residues 3-covered and others
+    2-covered (statistical distance ~7.5%%)."""
+    assert t_limbs.shape[0] == RAND_LIMBS, t_limbs.shape
+    shape = t_limbs.shape[1:]
+    rows = [t_limbs[j] for j in range(RAND_LIMBS)] \
+        + [jnp.zeros(shape, _U32)]
+    rounds = 9
+    for _ in range(rounds):
+        m = ((rows[0] & MASK) * _U32(N0)) & MASK
+        for j in range(L):
+            mp = m * _U32(int(P_LIMBS[j]))          # < 2^32
+            rows[j] = rows[j] + (mp & MASK)
+            rows[j + 1] = rows[j + 1] + (mp >> W)
+        carry0 = rows[0] >> W                       # rows[0] ≡ 0 mod 2^16
+        rows = rows[1:]
+        rows[0] = rows[0] + carry0
+    # carry-save overflow: each round adds <= 3 limb-size terms per row,
+    # so rows stay < 2^21 << 2^32; 25-9 = 16 rows remain, value < 2p
+    out, carry = _carry_chain(rows)
+    return cond_sub_p(jnp.stack(out, 0), carry)
+
+
 def const_stack(limbs_np, shape=()):
     """Compile-time uint32[L] numpy limbs -> broadcast [L, *shape] array."""
     return jnp.broadcast_to(

@@ -148,6 +148,105 @@ def _mul_kernel_4d(a_ref, b_ref, o_ref):
     o_ref[...] = jnp.stack(out, axis=0)[:, None]
 
 
+# -- fused uniform field sampling --------------------------------------------
+#
+# Threefry-2x32-20 (the same PRF family JAX's default PRNG uses) evaluated
+# in-register, feeding the 384-bit draw straight into the 9-round Montgomery
+# reduction (ops/montgomery.py::redc384 semantics) — the kernel's only HBM
+# traffic is the 64 B/element canonical-limb OUTPUT. The jnp pipeline
+# (threefry dispatch + word split + stacked redc) moved ~2.5x that and its
+# limb-axis stacks lowered to separate HBM passes; this kernel replaced it
+# at ~3x the throughput (the offline programs draw ~64 elements per
+# produced triple, so sampling is a first-order cost there).
+
+_TF_ROT_A = (13, 15, 26, 6)
+_TF_ROT_B = (17, 29, 16, 24)
+
+
+def _rotl(x, r):
+    return (x << jnp.uint32(r)) | (x >> jnp.uint32(32 - r))
+
+
+def _threefry2x32(k0, k1, c0, c1):
+    """Threefry-2x32, 20 rounds; c0/c1 uint32 arrays, k0/k1 scalars.
+    Bit-exact vs jax._src.prng.threefry_2x32 (tests/test_pallas_field.py)."""
+    ks = (k0, k1, k0 ^ k1 ^ jnp.uint32(0x1BD11BDA))
+    x0 = c0 + ks[0]
+    x1 = c1 + ks[1]
+    for g in range(5):
+        rots = _TF_ROT_A if g % 2 == 0 else _TF_ROT_B
+        for r in rots:
+            x0 = x0 + x1
+            x1 = _rotl(x1, r) ^ x0
+        x0 = x0 + ks[(g + 1) % 3]
+        x1 = x1 + ks[(g + 2) % 3] + jnp.uint32(g + 1)
+    return x0, x1
+
+
+_RR = 9                      # redc rounds: 384 -> < 2p (see mont.redc384)
+
+
+def _redc384_reg(rows, shape):
+    """24 halfword rows (uint32 < 2^16) -> L canonical limb rows; the
+    register twin of ops/montgomery.py::redc384."""
+    rows = list(rows) + [jnp.zeros(shape, jnp.uint32)]
+    for _ in range(_RR):
+        m = ((rows[0] & MASK) * jnp.uint32(N0)) & MASK
+        for j in range(L):
+            mp = m * jnp.uint32(_P[j])
+            rows[j] = rows[j] + (mp & MASK)
+            rows[j + 1] = rows[j + 1] + (mp >> W)
+        carry0 = rows[0] >> W
+        rows = rows[1:]
+        rows[0] = rows[0] + carry0
+    return _normalize(rows[:L + 1], shape)
+
+
+def _rand_kernel(key_ref, o_ref, *, subs, lanes):
+    shape = (subs, lanes)
+    k0 = key_ref[0, 0]
+    k1 = key_ref[0, 1]
+    base = pl.program_id(0).astype(jnp.uint32) * jnp.uint32(subs * lanes)
+    e = (base
+         + jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * jnp.uint32(lanes)
+         + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+    rows = []
+    for s in range(6):                       # 6 calls x 64 bits = 384 bits
+        w0, w1 = _threefry2x32(k0, k1, jnp.full(shape, jnp.uint32(s)), e)
+        for wrd in (w0, w1):
+            rows.append(wrd & MASK)
+            rows.append(wrd >> W)
+    out = _redc384_reg(rows, shape)
+    o_ref[...] = jnp.stack(out, axis=0)[:, None]
+
+
+def rand_limbs_pallas(key_data, numel: int):
+    """uint32[2] threefry key -> uint32[L, numel] canonical limbs, each
+    element uniform mod p (distance < 2^-129; the represented value is a
+    fixed bijection of the 384-bit draw — see FpArray.rand). Counter
+    layout: element index e uses threefry counters (s, e), s = 0..5 —
+    a distinct-counter scheme like jax.random.bits', not bit-identical
+    to it."""
+    SUBSR, LANESR = 8, 512
+    tile = SUBSR * LANESR
+    m = -(-numel // tile)
+    kern = functools.partial(_rand_kernel, subs=SUBSR, lanes=LANESR)
+    out = pl.pallas_call(
+        kern,
+        grid=(m,),
+        in_specs=[pl.BlockSpec((1, 2), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((L, 1, SUBSR, LANESR), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, m, SUBSR, LANESR), jnp.uint32),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=1300 * m * tile, bytes_accessed=4 * L * m * tile,
+            transcendentals=0),
+    )(key_data.reshape(1, 2))
+    return out.reshape(L, m * tile)[:, :numel]
+
+
 # -- batched modular matmul --------------------------------------------------
 #
 # Layout: the huge batch axis B rides the 128-lane dimension and the (small)

@@ -45,9 +45,20 @@ def _deal_own(enc: Encoding, secrets: FpArray, degree: int, key) -> FpArray:
     return enc.encode(coeffs)
 
 
-def _open_columns(backend, cols: FpArray, n: int, degree: int):
+def _open_columns(backend, cols: FpArray, n: int, degree: int,
+                  in_graph_fallback: bool = True):
     """Open sharings held column-wise: cols[party, ..., C] -> (values, nerr).
-    Flattens trailing dims and pads to the chunk size."""
+    Flattens trailing dims and pads to the chunk size.
+
+    ``in_graph_fallback=False`` (only meaningful under an enclosing jit):
+    detect-only opens — validation error counts still come back in nerr,
+    but the in-graph Gao robust branch is NOT compiled into the program.
+    Correct for the offline protocols because their response to ANY decode
+    error is already to abort the batch (ok=False, reference
+    offline_randousha.py:133-146) — the opened values only need to be
+    trustworthy when nerr == 0. This also selects the single-kernel
+    direct-composition open (ops/fused_open_direct.py), ~3-4x the
+    three-kernel pipeline's throughput."""
     shape = cols.shape  # sim: (n, k, C)
     flat = cols.reshape(shape[:1] + (int(np.prod(shape[1:])),)) \
         if isinstance(backend, SimBackend) else cols.reshape((int(np.prod(shape)),))
@@ -76,8 +87,16 @@ def _open_columns(backend, cols: FpArray, n: int, degree: int):
         # host-level calls run two-phase (detect in-graph, robust redo on
         # the host) — see parallel/reconstruct.py::sim_batch_reconstruct
         traced = isinstance(flat.limbs, jax.core.Tracer)
-        packed, nerr = sim_open_fused(flat.limbs, n, degree, points,
-                                      robust=traced)
+        robust = traced and in_graph_fallback
+        from ..ops.fused_open_direct import direct_fits
+        if not robust and direct_fits(n, k):
+            from ..ops.fused_open import pack_limbs
+            from ..ops.fused_open_direct import sim_open_direct_packed
+            packed, nerr = sim_open_direct_packed(
+                pack_limbs(flat.limbs), n, degree, points)
+        else:
+            packed, nerr = sim_open_fused(flat.limbs, n, degree, points,
+                                          robust=robust)
         vals = FpArray(unpack_limbs(packed))
         if not traced and int(jax.device_get(jnp.sum(nerr))) != 0:
             from ..parallel.reconstruct import host_robust_redo
@@ -85,13 +104,15 @@ def _open_columns(backend, cols: FpArray, n: int, degree: int):
                 np.asarray(jax.device_get(flat.limbs)), n, degree)
             vals = FpArray(jax.device_put(limbs_np))
     else:
-        vals, nerr = batch_reconstruct(backend, flat, n, degree, robust=True)
+        vals, nerr = batch_reconstruct(backend, flat, n, degree, robust=True,
+                                       fallback=in_graph_fallback)
     vals = FpArray(vals.limbs[..., :B])
     out_shape = shape[:1] + shape[1:] if isinstance(backend, SimBackend) else shape
     return vals.reshape(out_shape), nerr
 
 
-def randousha(backend, n: int, t: int, k: int, key):
+def randousha(backend, n: int, t: int, k: int, key,
+              in_graph_fallback: bool = True):
     """Generate k*(n-2t) double sharings (r_t, r_2t) with verification.
 
     backend: SimBackend (shares carry leading party axis) or MeshBackend.
@@ -131,8 +152,9 @@ def randousha(backend, n: int, t: int, k: int, key):
 
     # verification: open discarded columns at both degrees; abort on any
     # decode error or secret mismatch
-    v_t, e_t = _open_columns(backend, check_t, n, t)
-    v_2t, e_2t = _open_columns(backend, check_2t, n, 2 * t)
+    v_t, e_t = _open_columns(backend, check_t, n, t, in_graph_fallback)
+    v_2t, e_2t = _open_columns(backend, check_2t, n, 2 * t,
+                               in_graph_fallback)
     equal = v_t.eq(v_2t)
     ok = jnp.all(equal) & (jnp.sum(e_t) == 0) & (jnp.sum(e_2t) == 0)
 
@@ -140,11 +162,12 @@ def randousha(backend, n: int, t: int, k: int, key):
     return keep_t.reshape(flat), keep_2t.reshape(flat), ok
 
 
-def generate_triples(backend, n: int, t: int, k: int, key):
+def generate_triples(backend, n: int, t: int, k: int, key,
+                     in_graph_fallback: bool = True):
     """Beaver triples from RanDouSha (offline_randousha.py:154-191): draw
     3k double sharings; use (a, b, r): open a*b + r at degree 2t, subtract
     r_t. Returns (a, b, ab) share tensors [party.., k] and ok flag."""
-    r_t, r_2t, ok = randousha(backend, n, t, 3 * k, key)
+    r_t, r_2t, ok = randousha(backend, n, t, 3 * k, key, in_graph_fallback)
     m = r_t.shape[-1]
     cnt = m // 3
     a = FpArray(r_t.limbs[..., :cnt])
@@ -153,17 +176,19 @@ def generate_triples(backend, n: int, t: int, k: int, key):
     r2t = FpArray(r_2t.limbs[..., 2 * cnt:3 * cnt])
 
     ab_plus_r = a * b + r2t                         # local degree-2t share
-    opened, nerr = _open_columns(backend, _as_cols(backend, ab_plus_r), n, 2 * t)
+    opened, nerr = _open_columns(backend, _as_cols(backend, ab_plus_r), n,
+                                 2 * t, in_graph_fallback)
     opened = _from_cols(backend, opened)
     ab = opened - rt                                # degree-t share of ab
     ok = ok & (jnp.sum(nerr) == 0)
     return a, b, ab, ok
 
 
-def generate_bits(backend, n: int, t: int, k: int, key):
+def generate_bits(backend, n: int, t: int, k: int, key,
+                  in_graph_fallback: bool = True):
     """Random shared bits via the u/sqrt(u^2) trick
     (offline_randousha.py:194-232). Returns (bits [party.., m], ok)."""
-    r_t, r_2t, ok = randousha(backend, n, t, 2 * k, key)
+    r_t, r_2t, ok = randousha(backend, n, t, 2 * k, key, in_graph_fallback)
     m = r_t.shape[-1]
     cnt = m // 2
     u = FpArray(r_t.limbs[..., :cnt])
@@ -173,9 +198,11 @@ def generate_bits(backend, n: int, t: int, k: int, key):
     # open u^2 (masked at 2t then unmasked publicly: u2 = open(u*u + r_2t) - open(r)…
     # simpler: open u*u + r_2t, then subtract r_t and open again)
     u2_masked = u * u + r2t
-    opened, e1 = _open_columns(backend, _as_cols(backend, u2_masked), n, 2 * t)
+    opened, e1 = _open_columns(backend, _as_cols(backend, u2_masked), n,
+                               2 * t, in_graph_fallback)
     u2_share = _from_cols(backend, opened) - rt     # degree-t share of u^2
-    u2, e2 = _open_columns(backend, _as_cols(backend, u2_share), n, t)
+    u2, e2 = _open_columns(backend, _as_cols(backend, u2_share), n, t,
+                           in_graph_fallback)
     u2 = _from_cols(backend, u2)                    # public u^2
 
     root, has_root = u2.sqrt()                      # canonical root
@@ -195,21 +222,93 @@ def _from_cols(backend, x: FpArray) -> FpArray:
     return x
 
 
+def fused_randousha(backend, n: int, t: int, k: int, key):
+    """Drop-in randousha on the fused kernel pipeline
+    (ops/fused_randousha.py): ~3x the unfused collective program on TPU.
+    Detect-only (any check failure -> ok False; rerun the eager
+    `randousha` for fault localization). SimBackend only."""
+    from ..ops.fused_open import unpack_limbs
+    from ..ops.fused_randousha import sim_randousha_fused
+    kd = _key_data(key)
+    pt, p2, ok = sim_randousha_fused(kd, n, t, k)
+    return (FpArray(unpack_limbs(pt)), FpArray(unpack_limbs(p2)), ok)
+
+
+def fused_generate_triples(backend, n: int, t: int, k: int, key):
+    """Beaver triples over the fused RanDouSha pipeline; same protocol as
+    `generate_triples` (a*b + r_2t opened at 2t, minus r_t), producing
+    k*(n-2t) triples. Detect-only: decode errors flip ok."""
+    from ..ops import montgomery as mont
+    from ..ops.fused_open import pack_limbs, unpack_limbs
+    from ..ops.fused_randousha import sim_randousha_fused
+    from ..parallel.reconstruct import _sim_reconstruct_packed_jit
+
+    kd = _key_data(key)
+    pt, p2, ok = sim_randousha_fused(kd, n, t, 3 * k)
+    m = pt.shape[-1]
+    cnt = m // 3
+    a = unpack_limbs(pt[..., :cnt])
+    b = unpack_limbs(pt[..., cnt:2 * cnt])
+    rt = unpack_limbs(pt[..., 2 * cnt:3 * cnt])
+    r2t = unpack_limbs(p2[..., 2 * cnt:3 * cnt])
+
+    z = mont.add_mod(mont.mont_mul(a, b), r2t)      # degree-2t share
+    k2 = 2 * t + 1
+    pad = (-cnt) % k2
+    zp = jnp.concatenate(
+        [z, jnp.zeros(z.shape[:-1] + (pad,), jnp.uint32)], axis=-1) \
+        if pad else z
+    run = _sim_reconstruct_packed_jit(n, 2 * t, False, True,
+                                      fallback=False)
+    opened, nerr = run(pack_limbs(zp))
+    ab = mont.sub_mod(unpack_limbs(opened)[..., :cnt], rt)
+    ok = ok & (jnp.sum(nerr) == 0)
+    return FpArray(a), FpArray(b), FpArray(ab), ok
+
+
+def _key_data(key):
+    kd = jnp.asarray(key)
+    if jnp.issubdtype(kd.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(key)
+    return kd.astype(jnp.uint32).reshape(2)
+
+
 @lru_cache(maxsize=None)
-def sim_offline_jit(program: str, n: int, t: int, k: int):
+def sim_offline_jit(program: str, n: int, t: int, k: int,
+                    in_graph_fallback: bool = False):
     """ONE compiled SimBackend offline program per (program, n, t, k) —
     the backend is constructed INSIDE so the jit cache is keyed on the
     parameters, never on a backend object's identity (a fresh
-    SimBackend per call would silently retrace+recompile). Note the
-    compiled program contains the in-graph robust fallback; the eager
-    entry points above are the default for host-level use."""
+    SimBackend per call would silently retrace+recompile).
+
+    Default is DETECT-ONLY opens (in_graph_fallback=False): any decode
+    error flips the ok flag and the batch is discarded — the offline
+    protocols' abort semantics make in-graph Gao error correction dead
+    weight (it tripled the program's runtime and its size risks the
+    platform's sporadic large-program TPU-worker crash). Callers who
+    want faults CORRECTED inside the compiled program (keeping batches
+    under transmission faults that abort would discard) pass
+    in_graph_fallback=True; host-level callers get robustness for free
+    via the eager entry points' two-phase redo."""
+    import os
+
     backend = SimBackend(n)
+    from ..ops.fused_randousha import fused_fits
+    if (program in ("randousha", "generate_triples")
+            and not in_graph_fallback
+            and jax.default_backend() not in ("cpu",)
+            and fused_fits(n, t)
+            and not os.environ.get("HBMPC_NO_FUSED_OFFLINE")):
+        ffn = {"randousha": fused_randousha,
+               "generate_triples": fused_generate_triples}[program]
+        return jax.jit(lambda key: ffn(backend, n, t, k, key))
     fn = {"randousha": randousha, "generate_triples": generate_triples,
           "generate_bits": generate_bits}[program]
-    return jax.jit(lambda key: fn(backend, n, t, k, key))
+    return jax.jit(lambda key: fn(backend, n, t, k, key, in_graph_fallback))
 
 
-def sharded_offline_jit(program: str, mesh, n: int, t: int, k: int):
+def sharded_offline_jit(program: str, mesh, n: int, t: int, k: int,
+                        in_graph_fallback: bool = False):
     """The offline program under shard_map over a 'parties' mesh: one party
     per device, ICI collectives (MeshBackend). Each party's dealt secrets
     come from fold_in(key, party_id) — the replicated key stays secret-free
@@ -230,7 +329,7 @@ def sharded_offline_jit(program: str, mesh, n: int, t: int, k: int):
 
     def local_fn(key):
         key = jax.random.fold_in(key, jax.lax.axis_index("parties"))
-        out = fn(backend, n, t, k, key)
+        out = fn(backend, n, t, k, key, in_graph_fallback)
         arrs, ok = out[:-1], out[-1]
         return tuple(a.limbs[:, None] for a in arrs) + (ok[None],)
 

@@ -89,3 +89,19 @@ def test_randousha_detects_bad_dealer():
     finally:
         off._deal_own = orig
     assert not bool(ok)
+
+
+def test_sim_offline_jit_detect_only():
+    """The one-shot compiled offline program (detect-only opens by
+    default: decode faults flip ok instead of compiling in-graph Gao)
+    still produces valid triples fault-free."""
+    from honeybadgermpc_tpu.runtime.offline import sim_offline_jit
+    n, t, k = 4, 1, 4
+    f = sim_offline_jit("generate_triples", n, t, k)
+    a, b, ab, ok = f(jax.random.PRNGKey(9))
+    assert bool(ok)
+    va, _ = open_shares(a, n, t)
+    vb, _ = open_shares(b, n, t)
+    vab, _ = open_shares(ab, n, t)
+    for x, y, xy in zip(va.to_ints()[0], vb.to_ints()[0], vab.to_ints()[0]):
+        assert x * y % P == xy

@@ -95,3 +95,56 @@ def test_fp_matmul_mxu_v1_parity(rng):
     for bb in range(B):
         for cc in range(n):
             assert int(got[bb][cc]) == want[bb, cc], (bb, cc)
+
+
+def test_redc384_exact(rng):
+    """redc384(T) == T * 2^-144 mod p for random/edge 384-bit T (the
+    uniform-sampling reduction, ops/montgomery.py)."""
+    import jax
+
+    Ts = [rng.randrange(0, 2 ** 384) for _ in range(32)] + \
+        [0, 1, P - 1, P, 2 ** 256, 2 ** 384 - 1]
+    arr = np.zeros((mont.RAND_LIMBS, len(Ts)), np.uint32)
+    for i, T in enumerate(Ts):
+        for j in range(mont.RAND_LIMBS):
+            arr[j, i] = (T >> (16 * j)) & 0xFFFF
+    out = np.asarray(jax.device_get(mont.redc384(jnp.asarray(arr))))
+    inv = pow(pow(2, 144, P), P - 2, P)
+    for i, T in enumerate(Ts):
+        got = sum(int(out[j, i]) << (16 * j) for j in range(16))
+        assert got == T * inv % P
+
+
+def test_threefry_kernel_parity():
+    """In-kernel Threefry-2x32 matches jax's reference implementation."""
+    import jax
+    from jax._src.prng import threefry_2x32
+
+    from honeybadgermpc_tpu.ops.pallas_field import _threefry2x32
+    k = jnp.array([0x1234ABCD, 0x9E3779B9], jnp.uint32)
+    c0 = jnp.arange(64, dtype=jnp.uint32)
+    c1 = c0 + jnp.uint32(7)
+    ref = np.asarray(threefry_2x32(k, jnp.concatenate([c0, c1])))
+    x0, x1 = _threefry2x32(k[0], k[1], c0, c1)
+    assert np.array_equal(np.concatenate([np.asarray(x0), np.asarray(x1)]),
+                          ref)
+
+
+def test_rand_limbs_pallas():
+    """Fused sampling kernel: canonical (< p), deterministic per key,
+    key-sensitive, all-distinct, centered."""
+    import jax
+
+    from honeybadgermpc_tpu.ops.pallas_field import rand_limbs_pallas
+    kd = jnp.asarray([1, 2], jnp.uint32)
+    out = np.asarray(jax.device_get(rand_limbs_pallas(kd, 5000)))
+    vals = [sum(int(out[j, i]) << (16 * j) for j in range(16))
+            for i in range(5000)]
+    assert all(v < P for v in vals)
+    assert len(set(vals)) == 5000
+    assert 0.45 < sum(vals) / 5000 / P < 0.55
+    out2 = np.asarray(jax.device_get(rand_limbs_pallas(kd, 5000)))
+    assert np.array_equal(out, out2)
+    out3 = np.asarray(jax.device_get(
+        rand_limbs_pallas(jnp.asarray([1, 3], jnp.uint32), 5000)))
+    assert not np.array_equal(out, out3)
