@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_open import (KMAX, NBAL, PL, _bal_bias, _bal_fold_init,
                          _band_dot_fold, _bands_np, _mismatch, _pack16,
                          _planes_of, _planes_of_packed, _round8)
-from .limbs import L, MASK, P, W
+from .limbs import L, MASK, P, W, int_to_limbs
 from .mxu_matmul import _interpret
 from .pallas_field import _redc384_reg, _threefry2x32
 
@@ -74,25 +74,41 @@ def fused_fits(n: int, t: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _kd_kernel(key_ref, wt_ref, w2_ref, ot_ref, o2_ref, *, n, t, sp,
-               kc1, kc2, n1, i1, b1, i2, b2):
-    """Draw + double-deal one party's slot tile. Coefficient rows:
-    row 0 secret, rows 1..t degree-t high, rows t+1..3t degree-2t high."""
-    k1, k2 = t + 1, 2 * t + 1
-    nrows = 3 * t + 1
-    ngr = _round8(nrows) // 8
+def _kd_groups(t: int):
+    """Static row-group plans for the split deal kernels. Coefficient
+    rows (global ids): row 0 secret, rows 1..t degree-t high, rows
+    t+1..3t degree-2t high. Each kernel generates only the 8-row Threefry
+    groups it needs; row 0 regenerates identically in both (counters are
+    keyed by global row id). Returns (groups, segs) per degree, where
+    segs are (start, len) slices into that kernel's generated-row
+    order."""
+    k1 = t + 1
+    ngr_t = -(-k1 // 8)
+    plan_t = (tuple(range(ngr_t)), ((0, k1),))
+    g_lo, g_hi = k1 // 8, (k1 + 2 * t - 1) // 8
+    groups2 = tuple(sorted(set([0]) | set(range(g_lo, g_hi + 1))))
+    pos_k1 = groups2.index(g_lo) * 8 + (k1 - g_lo * 8)
+    plan_2t = (groups2, ((0, 1), (pos_k1, 2 * t)))
+    return plan_t, plan_2t
+
+
+def _kd_kernel(key_ref, w_ref, o_ref, *, n, t, sp, kc, n1, init, bias,
+               groups, segs, kk, kdw):
+    """Draw + deal one party's slot tile at one degree. kdw: lane width
+    (multiple of TBW — the deal dots were the pipeline's narrowest, so
+    this kernel runs wider slot tiles than the storage tile)."""
     njt = n // JT
     src = pl.program_id(0)
     blk = pl.program_id(1)
     key0 = key_ref[0, 0]
     key1 = key_ref[0, 1]
-    shape = (8, TBW)
+    shape = (8, kdw)
     c1 = (src.astype(jnp.uint32) * jnp.uint32(sp)
-          + blk.astype(jnp.uint32) * jnp.uint32(TBW)
+          + blk.astype(jnp.uint32) * jnp.uint32(kdw)
           + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
     rowid = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    groups = []
-    for g in range(ngr):
+    gen = []
+    for g in groups:
         c0b = jnp.uint32(_CTR_TAG) + (jnp.uint32(g * 8) + rowid) \
             * jnp.uint32(8)
         rows24 = []
@@ -101,45 +117,69 @@ def _kd_kernel(key_ref, wt_ref, w2_ref, ot_ref, o2_ref, *, n, t, sp,
             for wrd in (w0, w1):
                 rows24.append(wrd & MASK)
                 rows24.append(wrd >> W)
-        groups.append(_redc384_reg(rows24, shape))
-    # all generated rows, stacked by coefficient index: L x (8*ngr, TBW)
-    allr = [jnp.concatenate([groups[g][j] for g in range(ngr)], axis=0)
-            for j in range(L)]
+        gen.append(_redc384_reg(rows24, shape))
+    allr = [jnp.concatenate([gen[i][j] for i in range(len(groups))],
+                            axis=0) for j in range(L)]
 
-    def rows_t(j):
-        return allr[j][:k1]
+    def rows(j):
+        parts = [allr[j][s:s + ln] for (s, ln) in segs]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=0)
 
-    def rows_2t(j):
-        # shared secret row 0 + the degree-2t high part (rows t+1..3t)
-        return jnp.concatenate(
-            [allr[j][:1], allr[j][k1:k1 + 2 * t]], axis=0)
-
-    pt = _pack16(_band_dot_fold(
-        wt_ref[0], _planes_of(rows_t, k1, kc1), n1, i1, b1))
-    p2 = _pack16(_band_dot_fold(
-        w2_ref[0], _planes_of(rows_2t, k2, kc2), n1, i2, b2))
-    for jd in range(njt):
-        ot_ref[0, jd, :, 0] = pt[:, jd * JT:(jd + 1) * JT, :]
-        o2_ref[0, jd, :, 0] = p2[:, jd * JT:(jd + 1) * JT, :]
+    p = _pack16(_band_dot_fold(
+        w_ref[0], _planes_of(rows, kk, kc), n1, init, bias))
+    for ct in range(kdw // TBW):
+        lane = slice(ct * TBW, (ct + 1) * TBW)
+        for jd in range(njt):
+            o_ref[ct, jd, :, 0] = p[:, jd * JT:(jd + 1) * JT, lane]
 
 
-def _ke_kernel(c_ref, w_ref, keep_ref, chk_ref, *, n, n_out, ncheck,
-               n1, kcn, init, bias, n_outp, ncheckp):
-    """Hyperinvertible extraction for JT dst parties (sequential dots).
-    c_ref (1, 1, PL, n, JT, TBW): received columns, dealer-major."""
-    for jj in range(JT):
-        planes = _planes_of_packed(
-            lambda w, jj=jj: c_ref[0, 0, w, :, jj], n, kcn)
+def _ke_kernel(c_ref, w_ref, *refs, n, n_out, ncheck,
+               n1, kcn, init, bias, n_outp, ncheckp, mj, agg, kca,
+               inita, biasa):
+    """Hyperinvertible extraction for JT dst parties, MJ of them merged
+    into the matmul lane axis per dot (narrow per-dst N=128 dots measured
+    ~3x slower than one wide dot + one fold).
+    c_ref (1, 1, PL, n, JT, TBW): received columns, dealer-major.
+
+    agg=False: refs = (keep_ref, chk_ref) — the 2t discarded columns
+    stream to the check tensor for per-column verification (KC).
+    agg=True: refs = (rho-band ref, keep_ref, z_ref) — the discarded
+    columns are contracted IN-KERNEL against a run-random rho band
+    (second matmul) and only the single aggregated column leaves the
+    kernel; the check tensor was over 40% of the pipeline's HBM
+    traffic."""
+    if agg:
+        rb_ref, keep_ref, z_ref = refs           # rb: (1, NBAL*8, kca)
+    else:
+        keep_ref, chk_ref = refs
+    for g in range(JT // mj):
+        def rows(w, g=g):
+            # (n, mj, TBW) -> (n, mj*TBW): sublane->lane merge
+            return c_ref[0, 0, w, :, g * mj:(g + 1) * mj].reshape(
+                n, mj * TBW)
+        planes = _planes_of_packed(rows, n, kcn)
         packed = _pack16(_band_dot_fold(w_ref[0], planes, n1, init, bias))
-        keep_ref[:, jj] = packed[:, :n_outp]
-        chk = packed[:, n_out:n]                 # the ncheck real columns
-        if ncheckp > ncheck:
-            # zero columns decode to the zero polynomial with zero errors
-            # at both degrees, so the padding stays silent downstream
-            chk = jnp.concatenate(
-                [chk, jnp.zeros((PL, ncheckp - ncheck, TBW), jnp.uint32)],
-                axis=1)
-        chk_ref[0, 0, :, jj] = chk
+        wide = packed.reshape(PL, n1, mj, TBW)
+        if agg:
+            chkp = _planes_of_packed(
+                lambda w: packed[w, n_out:n], ncheck, kca)
+            zp = _pack16(_band_dot_fold(rb_ref[0], chkp, 8, inita, biasa))
+            zr = zp[:, 0].reshape(PL, mj, TBW)   # row 0 = the aggregate
+            z_ref[:, g * mj:(g + 1) * mj] = zr
+        for jj in range(mj):
+            j = g * mj + jj
+            keep_ref[:, j] = wide[:, :n_outp, jj]
+            if agg:
+                continue
+            chk = wide[:, n_out:n, jj]           # the ncheck real columns
+            if ncheckp > ncheck:
+                # zero columns decode to the zero polynomial with zero
+                # errors at both degrees, so the padding stays silent
+                chk = jnp.concatenate(
+                    [chk, jnp.zeros((PL, ncheckp - ncheck, TBW),
+                                    jnp.uint32)], axis=1)
+            chk_ref[0, 0, :, j] = chk
 
 
 def _kc_kernel(c_ref, w_ref, vals_ref, errs_ref, *, n, k, nv, ncp, kc,
@@ -162,15 +202,104 @@ def _kc_kernel(c_ref, w_ref, vals_ref, errs_ref, *, n, k, nv, ncp, kc,
     errs_ref[...] = errs.reshape(1, cg, TBW)
 
 
+def _rho_band_kernel(key_ref, cs_ref, d_ref):
+    """Grid-1 kernel: derive rho (Threefry domain 0x20000, disjoint from
+    the dealer draws) and emit the balanced digits d[r, s, kk] of
+    w[kk][s] = rho_kk * 2^(8s+32) mod p — all in registers (as loose XLA
+    ops this was ~100 tiny dispatches whose launch gaps cost more than
+    the whole check-tensor traffic it saves).
+
+    Layout: s rides sublanes (NBAL=32), kk rides lanes (64, padded)."""
+    from .pallas_field import _cios
+    shape = (NBAL, 64)
+    key0 = key_ref[0, 0]
+    key1 = key_ref[0, 1]
+    c1 = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)   # kk per lane
+    rows24 = []
+    for s in range(6):
+        w0, w1 = _threefry2x32(key0, key1,
+                               jnp.full(shape, jnp.uint32(0x20000 + s)),
+                               c1)
+        for wrd in (w0, w1):
+            rows24.append(wrd & MASK)
+            rows24.append(wrd >> W)
+    rho = _redc384_reg(rows24, shape)            # L x (NBAL, 64), < p
+    # one elementwise CIOS against the per-sublane constant 2^(8s+32)*R
+    cs = [jnp.broadcast_to(cs_ref[j].reshape(NBAL, 1), shape)
+          for j in range(L)]
+    w = _cios(rho, cs, shape)                    # w[s, kk] canonical
+    carry = jnp.zeros(shape, jnp.uint32)
+    for r in range(NBAL):
+        j, off = divmod(8 * r, W)
+        byte = (w[j] >> off) & jnp.uint32(0xFF)
+        u = byte + carry
+        ge = (u >= 128).astype(jnp.uint32)
+        d_ref[r] = (u.astype(jnp.int32)
+                    - (ge.astype(jnp.int32) << 8)).astype(jnp.int8)
+        carry = ge
+
+
+@functools.lru_cache(maxsize=None)
+def _rho_band_call():
+    cs = np.stack([np.asarray(int_to_limbs(
+        pow(2, 8 * s + 32, P) * pow(2, 256, P) % P), np.uint32)
+        for s in range(NBAL)], axis=-1)          # [L, NBAL]
+    call = pl.pallas_call(
+        _rho_band_kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, NBAL), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NBAL, NBAL, 64), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NBAL, NBAL, 64), jnp.int8),
+        interpret=_interpret(),
+    )
+    return lambda kd: call(kd, cs)
+
+
+def _rho_band(key_data, ncheck: int, kca: int):
+    """Run-random aggregation band for the in-kernel batched check: int8
+    [1, NBAL*8, kca] whose single output column computes
+    z = sum_j rho_j * chk_j over GF(p) (chk in Montgomery form).
+
+    The band depends on the run key, so a host-folded constant (0.3+ s
+    of Python per run) is not an option; the digits come from one grid-1
+    Pallas kernel. Soundness of the batched check: a nonzero deviation
+    in any check column survives the combination unless
+    sum_j rho_j*delta_j = 0, probability <= 1/p (Schwartz-Zippel)."""
+    d = _rho_band_call()(key_data.reshape(1, 2))     # [r, s, 64]
+    # band[r*8 + 0, s*ncheck + kk] = d[r, s, kk]; other rows zero
+    arr = d[:, :, :ncheck].reshape(NBAL, NBAL * ncheck)
+    band = jnp.concatenate(
+        [arr[:, None], jnp.zeros((NBAL, 7, NBAL * ncheck), jnp.int8)],
+        axis=1).reshape(NBAL * 8, NBAL * ncheck)
+    if kca > NBAL * ncheck:
+        band = jnp.concatenate(
+            [band, jnp.zeros((NBAL * 8, kca - NBAL * ncheck), jnp.int8)],
+            axis=1)
+    return band[None]
+
+
 # ---------------------------------------------------------------------------
 # Plumbing
 # ---------------------------------------------------------------------------
 
 
 @functools.lru_cache(maxsize=None)
-def _randousha_calls(n: int, t: int, sp: int, points: tuple):
+def _randousha_calls(n: int, t: int, sp: int, points: tuple,
+                     aggregate: bool = True):
     """sp: padded slot count (multiple of TBW). Returns run(key_data) ->
-    (keep_t, keep_2t packed [PL, n, n_outp, sp], ok-stats)."""
+    (keep_t, keep_2t packed [PL, n, n_outp, sp], ok-stats).
+
+    aggregate=True (default): the H2/H3 verification opens run as ONE
+    rho-weighted batched check per degree (see _rho_band — soundness
+    1 - 1/p) instead of per-column opens; this removes the check tensor
+    (>40% of pipeline HBM traffic). The per-column variant remains for
+    the protocol-faithful path and fault localization."""
     assert fused_fits(n, t) and sp % TBW == 0
     k1, k2 = t + 1, 2 * t + 1
     n_out = n - 2 * t
@@ -186,64 +315,87 @@ def _randousha_calls(n: int, t: int, sp: int, points: tuple):
     (en_b, n1n), _, _, _, kcn = _bands_np(points, n)
     _, (r1_b, n2a), _, _, _ = _bands_np(points, k1)
 
-    kd = pl.pallas_call(
-        functools.partial(_kd_kernel, n=n, t=t, sp=sp, kc1=kc1, kc2=kc2,
-                          n1=n1a, i1=_bal_fold_init(k1), b1=_bal_bias(k1),
-                          i2=_bal_fold_init(k2), b2=_bal_bias(k2)),
-        grid=(n, nblk),
-        in_specs=[
-            pl.BlockSpec((1, 2), lambda s, b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NBAL * n1a, kc1), lambda s, b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NBAL * n1a, kc2), lambda s, b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, njt, PL, 1, JT, TBW),
-                         lambda s, b: (b, 0, 0, s, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, njt, PL, 1, JT, TBW),
-                         lambda s, b: (b, 0, 0, s, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nblk, njt, PL, n, JT, TBW), jnp.uint32),
-            jax.ShapeDtypeStruct((nblk, njt, PL, n, JT, TBW), jnp.uint32),
-        ],
-        interpret=_interpret(),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * sp * NBAL * n1a * (kc1 + kc2),
-            bytes_accessed=4 * PL * n * sp * 2 * n, transcendentals=0),
-    )
+    plan_t, plan_2t = _kd_groups(t)
 
-    def ke_call(nref):
+    def kd_call(kk, kc, plan, kdw):
+        groups, segs = plan
+        nct = kdw // TBW
         return pl.pallas_call(
-            functools.partial(_ke_kernel, n=n, n_out=n_out, ncheck=ncheck,
-                              n1=n1n, kcn=kcn, init=_bal_fold_init(n),
-                              bias=_bal_bias(n), n_outp=n_outp,
-                              ncheckp=ncheckp),
-            grid=(njt, nblk),
+            functools.partial(_kd_kernel, n=n, t=t, sp=sp, kc=kc, n1=n1a,
+                              init=_bal_fold_init(kk), bias=_bal_bias(kk),
+                              groups=groups, segs=segs, kk=kk, kdw=kdw),
+            grid=(n, sp // kdw),
             in_specs=[
-                pl.BlockSpec((1, 1, PL, n, JT, TBW),
-                             lambda j, b: (b, j, 0, 0, 0, 0),
+                pl.BlockSpec((1, 2), lambda s, b: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, NBAL * n1n, kcn), lambda j, b: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((PL, JT, n_outp, TBW),
-                             lambda j, b: (0, j, 0, b),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, PL, JT, ncheckp, TBW),
-                             lambda j, b: (b, j, 0, 0, 0, 0),
+                pl.BlockSpec((1, NBAL * n1a, kc), lambda s, b: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_shape=[
-                jax.ShapeDtypeStruct((PL, n, n_outp, sp), jnp.uint32),
-                jax.ShapeDtypeStruct((nblk, njt, PL, JT, ncheckp, TBW),
-                                     jnp.uint32),
-            ],
+            out_specs=pl.BlockSpec((nct, njt, PL, 1, JT, TBW),
+                                   lambda s, b: (b, 0, 0, s, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nblk, njt, PL, n, JT, TBW),
+                                           jnp.uint32),
+            interpret=_interpret(),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * sp * NBAL * n1a * kc,
+                bytes_accessed=4 * PL * n * sp * n, transcendentals=0),
+        )
+
+    # lane widths: the deal dots are the narrowest in the pipeline; wider
+    # slot tiles keep the MXU busy. The degree-2t kernel carries more
+    # live state (7 row groups + the bigger band), hence the split.
+    kdw_t = 512 if sp % 512 == 0 else TBW
+    kdw_2 = 256 if sp % 256 == 0 else TBW
+    kd_t = kd_call(k1, kc1, plan_t, kdw_t)
+    kd_2 = kd_call(k2, kc2, plan_2t, kdw_2)
+
+    # dst-merge width: the dot intermediate [NBAL*n1, mj*TBW] i32 is the
+    # VMEM hog; mj = 4 at n = 64 missed the 16 MB scoped-vmem limit by
+    # 12 KB, so 2 it is (dots still 2 MXU tiles wide)
+    mj = 2 if n >= 32 else JT
+
+    kca = NBAL * ncheck
+
+    def ke_call():
+        kern = functools.partial(
+            _ke_kernel, n=n, n_out=n_out, ncheck=ncheck, n1=n1n, kcn=kcn,
+            init=_bal_fold_init(n), bias=_bal_bias(n), n_outp=n_outp,
+            ncheckp=ncheckp, mj=mj, agg=aggregate, kca=kca,
+            inita=_bal_fold_init(ncheck), biasa=_bal_bias(ncheck))
+        in_specs = [
+            pl.BlockSpec((1, 1, PL, n, JT, TBW),
+                         lambda j, b: (b, j, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NBAL * n1n, kcn), lambda j, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        keep_spec = pl.BlockSpec((PL, JT, n_outp, TBW),
+                                 lambda j, b: (0, j, 0, b),
+                                 memory_space=pltpu.VMEM)
+        keep_shape = jax.ShapeDtypeStruct((PL, n, n_outp, sp), jnp.uint32)
+        if aggregate:
+            in_specs.append(
+                pl.BlockSpec((1, NBAL * 8, kca), lambda j, b: (0, 0, 0),
+                             memory_space=pltpu.VMEM))
+            out_specs = [keep_spec,
+                         pl.BlockSpec((PL, JT, TBW),
+                                      lambda j, b: (0, j, b),
+                                      memory_space=pltpu.VMEM)]
+            out_shape = [keep_shape,
+                         jax.ShapeDtypeStruct((PL, n, sp), jnp.uint32)]
+        else:
+            out_specs = [keep_spec,
+                         pl.BlockSpec((1, 1, PL, JT, ncheckp, TBW),
+                                      lambda j, b: (b, j, 0, 0, 0, 0),
+                                      memory_space=pltpu.VMEM)]
+            out_shape = [keep_shape,
+                         jax.ShapeDtypeStruct(
+                             (nblk, njt, PL, JT, ncheckp, TBW),
+                             jnp.uint32)]
+        return pl.pallas_call(
+            kern, grid=(njt, nblk), in_specs=in_specs,
+            out_specs=out_specs, out_shape=out_shape,
             interpret=_interpret(),
             cost_estimate=pl.CostEstimate(
                 flops=2 * n * sp * NBAL * n1n * kcn,
@@ -251,7 +403,7 @@ def _randousha_calls(n: int, t: int, sp: int, points: tuple):
                 transcendentals=0),
         )
 
-    ke = ke_call(None)
+    ke = ke_call()
 
     def kc_call(k, band, ncp, kc):
         nv = n - k
@@ -284,8 +436,8 @@ def _randousha_calls(n: int, t: int, sp: int, points: tuple):
                 transcendentals=0),
         )
 
-    kc_t = kc_call(k1, r1_b, n2a, kc1)
-    kc_2 = kc_call(k2, r2_b, n2b, kc2)
+    kc_t = kc_call(k1, r1_b, n2a, kc1) if not aggregate else None
+    kc_2 = kc_call(k2, r2_b, n2b, kc2) if not aggregate else None
 
     # host numpy bands (lru-cached across traces — see fused_open)
     e1w = np.ascontiguousarray(e1_b)
@@ -294,10 +446,42 @@ def _randousha_calls(n: int, t: int, sp: int, points: tuple):
     r1w = np.ascontiguousarray(r1_b)
     r2w = np.ascontiguousarray(r2_b)
 
+    def _open_z(z, deg):
+        """Open the aggregated check column (a degree-`deg` sharing of sp
+        values) with the detect-only direct open; returns (secrets packed
+        [PL, B'], nerr [n])."""
+        from ..parallel.reconstruct import _sim_reconstruct_packed_jit
+        kk = deg + 1
+        pad = (-sp) % kk
+        zp = jnp.concatenate(
+            [z, jnp.zeros((PL, n, pad), jnp.uint32)], axis=-1) \
+            if pad else z
+        opener = _sim_reconstruct_packed_jit(n, deg, False, True,
+                                             fallback=False,
+                                             replicate=False)
+        sec, nerr = opener(zp)
+        if sec.ndim == 3:
+            # the three-kernel fallback (direct kernel out of VMEM
+            # budget at this k) returns the n-replicated view
+            sec = sec[:, 0]
+        return sec, nerr
+
     def run(key_data):
         """key_data uint32[2] -> (keep_t, keep_2t [PL, n, n_outp, sp],
         nerr int32 [] total check failures)."""
-        cols_t, cols_2t = kd(key_data.reshape(1, 2), e1w, e2w)
+        kd_arg = key_data.reshape(1, 2)
+        cols_t = kd_t(kd_arg, e1w)
+        cols_2t = kd_2(kd_arg, e2w)
+        if aggregate:
+            rb = _rho_band(key_data, ncheck, kca)
+            keep_t, z_t = ke(cols_t, enw, rb)
+            keep_2t, z_2t = ke(cols_2t, enw, rb)
+            vt, et = _open_z(z_t, t)
+            v2, e2 = _open_z(z_2t, 2 * t)
+            neq = jnp.sum(jnp.any(vt[:, :sp] != v2[:, :sp],
+                                  axis=0).astype(jnp.int32))
+            nerr = jnp.sum(et) + jnp.sum(e2) + neq
+            return keep_t, keep_2t, nerr
         keep_t, chk_t = ke(cols_t, enw)
         keep_2t, chk_2t = ke(cols_2t, enw)
         vt, et = kc_t(chk_t, r1w)
@@ -308,7 +492,7 @@ def _randousha_calls(n: int, t: int, sp: int, points: tuple):
         nerr = (jnp.sum(et[0, :ncheck]) + jnp.sum(e2[0, :ncheck]) + neq)
         return keep_t, keep_2t, nerr
 
-    run.parts = (kd, ke, kc_t, kc_2, e1w, e2w, enw, r1w, r2w)
+    run.parts = (kd_t, kd_2, ke, kc_t, kc_2, e1w, e2w, enw, r1w, r2w)
     run.meta = (n_out, n_outp, ncheck, ncheckp)
     return run
 

@@ -54,10 +54,12 @@ def test_fused_randousha_detects_corruption():
     from honeybadgermpc_tpu.ops.rs import Encoding
     enc = Encoding(N)
     points = tuple(int(x) % P for x in enc.points)
-    run = _randousha_calls(N, T, K, points)
-    kd_k, ke, kc_t, kc_2, e1w, e2w, enw, r1w, r2w = run.parts
+    run = _randousha_calls(N, T, K, points, aggregate=False)
+    kd_t, kd_2, ke, kc_t, kc_2, e1w, e2w, enw, r1w, r2w = run.parts
 
-    cols_t, cols_2t = kd_k(jnp.asarray([[5, 6]], jnp.uint32), e1w, e2w)
+    key = jnp.asarray([[5, 6]], jnp.uint32)
+    cols_t = kd_t(key, e1w)
+    cols_2t = kd_2(key, e2w)
     # flip one word of dealer 3's column to dst party 1, slot 17
     cols_t = cols_t.at[0, 0, 0, 3, 1, 17].add(jnp.uint32(1))
     keep_t, chk_t = ke(cols_t, enw)
@@ -85,3 +87,33 @@ def test_fused_fits():
     assert fused_fits(8, 2)
     assert not fused_fits(7, 2)        # party count not a sublane multiple
     assert not fused_fits(128, 21)     # beyond the balanced-scheme bound
+
+
+def test_fused_randousha_aggregate_detects_corruption():
+    """The rho-weighted batched check (aggregate mode, the default) must
+    also flag a corrupted dealt column."""
+    from honeybadgermpc_tpu.ops.fused_randousha import (NBAL, TBW,
+                                                        _randousha_calls,
+                                                        _rho_band)
+    from honeybadgermpc_tpu.ops.rs import Encoding
+    from honeybadgermpc_tpu.parallel.reconstruct import \
+        _sim_reconstruct_packed_jit
+    enc = Encoding(N)
+    points = tuple(int(x) % P for x in enc.points)
+    run = _randousha_calls(N, T, K, points, aggregate=True)
+    kd_t, kd_2, ke, _, _, e1w, e2w, enw, r1w, r2w = run.parts
+
+    key = jnp.asarray([5, 6], jnp.uint32)
+    cols_t = kd_t(key.reshape(1, 2), e1w)
+    cols_t = cols_t.at[0, 0, 0, 3, 1, 17].add(jnp.uint32(1))
+    ncheck = 2 * T
+    rb = _rho_band(key, ncheck, NBAL * ncheck)
+    _, z_t = ke(cols_t, enw, rb)
+    kk = T + 1
+    pad = (-K) % kk
+    zp = jnp.concatenate(
+        [z_t, jnp.zeros((8, N, pad), jnp.uint32)], axis=-1) if pad else z_t
+    opener = _sim_reconstruct_packed_jit(N, T, False, True,
+                                         fallback=False, replicate=False)
+    _, nerr = opener(zp)
+    assert int(np.asarray(jax.device_get(nerr)).sum()) > 0
