@@ -239,7 +239,7 @@ def fused_generate_triples(backend, n: int, t: int, k: int, key):
     `generate_triples` (a*b + r_2t opened at 2t, minus r_t), producing
     k*(n-2t) triples. Detect-only: decode errors flip ok."""
     from ..ops import montgomery as mont
-    from ..ops.fused_open import pack_limbs, unpack_limbs
+    from ..ops.fused_open import unpack_limbs
     from ..ops.fused_randousha import sim_randousha_fused
     from ..parallel.reconstruct import _sim_reconstruct_packed_jit
 
@@ -247,12 +247,16 @@ def fused_generate_triples(backend, n: int, t: int, k: int, key):
     pt, p2, ok = sim_randousha_fused(kd, n, t, 3 * k)
     m = pt.shape[-1]
     cnt = m // 3
-    a = unpack_limbs(pt[..., :cnt])
-    b = unpack_limbs(pt[..., cnt:2 * cnt])
-    rt = unpack_limbs(pt[..., 2 * cnt:3 * cnt])
-    r2t = unpack_limbs(p2[..., 2 * cnt:3 * cnt])
+    from ..ops.pallas_field import mul_add_packed
+    pa = pt[..., :cnt]
+    pb = pt[..., cnt:2 * cnt]
+    prt = pt[..., 2 * cnt:3 * cnt]
+    pr2t = p2[..., 2 * cnt:3 * cnt]
 
-    z = mont.add_mod(mont.mont_mul(a, b), r2t)      # degree-2t share
+    # z = a*b + r_2t, computed in the packed domain (one register kernel)
+    z = mul_add_packed(pa.reshape(pa.shape[0], -1),
+                       pb.reshape(pa.shape[0], -1),
+                       pr2t.reshape(pa.shape[0], -1)).reshape(pa.shape)
     k2 = 2 * t + 1
     pad = (-cnt) % k2
     zp = jnp.concatenate(
@@ -260,10 +264,12 @@ def fused_generate_triples(backend, n: int, t: int, k: int, key):
         if pad else z
     run = _sim_reconstruct_packed_jit(n, 2 * t, False, True,
                                       fallback=False)
-    opened, nerr = run(pack_limbs(zp))
-    ab = mont.sub_mod(unpack_limbs(opened)[..., :cnt], rt)
+    opened, nerr = run(zp)
+    ab = mont.sub_mod(unpack_limbs(opened)[..., :cnt],
+                      unpack_limbs(prt))
     ok = ok & (jnp.sum(nerr) == 0)
-    return FpArray(a), FpArray(b), FpArray(ab), ok
+    return (FpArray(unpack_limbs(pa)), FpArray(unpack_limbs(pb)),
+            FpArray(ab), ok)
 
 
 def _key_data(key):

@@ -148,3 +148,24 @@ def test_rand_limbs_pallas():
     out3 = np.asarray(jax.device_get(
         rand_limbs_pallas(jnp.asarray([1, 3], jnp.uint32), 5000)))
     assert not np.array_equal(out, out3)
+
+
+def test_mul_add_packed_parity(rng):
+    """Packed-domain (a*b + c) mod p vs Python ints."""
+    import jax
+
+    from honeybadgermpc_tpu.ops.fused_open import pack_limbs, unpack_limbs
+    from honeybadgermpc_tpu.ops.limbs import R_MOD_P
+    from honeybadgermpc_tpu.ops.pallas_field import mul_add_packed
+    B = 300
+    av = [rng.randrange(P) for _ in range(B)]
+    bv = [rng.randrange(P) for _ in range(B)]
+    cv = [rng.randrange(P) for _ in range(B)]
+    pk = [pack_limbs(jnp.asarray(ints_to_limbs(np.array(v, object))))
+          for v in (av, bv, cv)]
+    out = mul_add_packed(*pk)
+    got = limbs_to_ints(np.asarray(jax.device_get(unpack_limbs(out))))
+    rinv = pow(R_MOD_P, P - 2, P)
+    for i in range(B):
+        want = (av[i] * bv[i] * rinv + cv[i]) % P
+        assert int(got[i]) == want, i
