@@ -60,9 +60,17 @@ class ShareArray:
             return other
         return None
 
+    def _check_ctx(self, other):
+        """Shares from different contexts must never combine (reference
+        dataflow.py typechecks bind ops to one per-context Share type;
+        tests/progs/mixins test_cant_multiply_shares_from_different_contexts)."""
+        if other.ctx is not self.ctx:
+            raise TypeError("cannot combine shares from different contexts")
+
     # -- linear (local) ----------------------------------------------------
     def __add__(self, other):
         if isinstance(other, ShareArray):
+            self._check_ctx(other)
             assert self.t == other.t, "degree mismatch"
             return self._like(self.v + other.v)
         pub = self._coerce_public(other)
@@ -72,6 +80,7 @@ class ShareArray:
 
     def __sub__(self, other):
         if isinstance(other, ShareArray):
+            self._check_ctx(other)
             assert self.t == other.t
             return self._like(self.v - other.v)
         return self._like(self.v - self._coerce_public(other))
@@ -84,6 +93,7 @@ class ShareArray:
 
     def __mul__(self, other):
         if isinstance(other, ShareArray):
+            self._check_ctx(other)
             return self.ctx.call_mixin(MixinConstants.MultiplyShareArray,
                                        self, other)
         return self._like(self.v * self._coerce_public(other))
@@ -117,6 +127,7 @@ class ShareArray:
     def local_mul(self, other: "ShareArray") -> "ShareArray":
         """Degree-doubling local product (DoubleSharingMultiply front half,
         share_arithmetic.py:48-68)."""
+        self._check_ctx(other)
         return ShareArray(self.ctx, self.v * other.v, self.t + other.t)
 
     def invert(self):
@@ -140,6 +151,36 @@ class ShareArray:
         assert all(a.t == t for a in arrays)
         return ShareArray(ctx, FpArray.concatenate(
             [a.v for a in arrays], axis=axis + off), t)
+
+    def tree_fold(self, op):
+        """Log-depth commutative reduce over the (1-D) element axis
+        (reference dataflow.py:237-279 ``_tree_fold``): each level pairs
+        even/odd elements and applies ``op`` as ONE batched ShareArray op
+        (so a nonlinear op costs one open per level, log2(k) total),
+        carrying an unpaired tail element to the next level. Returns a
+        scalar ``Share``."""
+        assert len(self.shape) == 1 and self.shape[0] > 0
+        arr, k = self, self.shape[0]
+        while k > 1:
+            half = k // 2
+            idx = np.arange(half)
+            left = arr.take(idx * 2, axis=0)
+            right = arr.take(idx * 2 + 1, axis=0)
+            res = op(left, right)
+            if k % 2:
+                res = ShareArray.concat([res, arr.take([k - 1], axis=0)],
+                                        axis=0)
+            arr, k = res, half + (k % 2)
+        return Share(arr)
+
+    def multiplicative_product(self):
+        """Product of all elements in log2(k) rounds of one batched Beaver
+        multiply each (reference dataflow.py:281-287). Empty array folds to
+        the constant-1 share (every party holds 1: the degree-0 sharing)."""
+        if len(self.shape) == 1 and self.shape[0] == 0:
+            lead = self.v.shape[:1] if self.ctx.sim else ()
+            return Share(self._like(FpArray.ones(lead + (1,))))
+        return self.tree_fold(ShareArray.__mul__)
 
 
 class Share:

@@ -106,6 +106,43 @@ def test_mimc_batch_vs_plain(rng, ctx):
     assert list(got.to_ints()[0]) == want
 
 
+@pytest.mark.parametrize("k", [1, 2, 5, 8])
+def test_multiplicative_product(rng, ctx, k):
+    """dataflow.py:281 multiplicative_product: log-depth tree of batched
+    Beaver multiplies (reference tests/progs/mixins/test_share_arithmetic
+    test_share_array_multiplicative_product)."""
+    xs = [rng.randrange(P) for _ in range(k)]
+    prod = share_of(ctx, xs).multiplicative_product().open()
+    want = 1
+    for x in xs:
+        want = want * x % P
+    assert prod == want
+
+
+def test_multiplicative_product_empty(ctx):
+    empty = ctx.ShareArray(FpArray.zeros((ctx.n, 0)))
+    assert empty.multiplicative_product().open() == 1
+
+
+def test_cant_combine_shares_from_different_contexts(rng, ctx):
+    """Reference tests/progs/mixins/test_share_arithmetic.py: shares are
+    bound to one context; combining across contexts must raise."""
+    other = MpcContext(ctx.n, ctx.t, preproc=ctx.preproc)
+    xs = [rng.randrange(P) for _ in range(3)]
+    a = share_of(ctx, xs)
+    b = other.ShareArray(a.v)
+    for op in (lambda: a + b, lambda: a - b, lambda: a * b,
+               lambda: a.local_mul(b)):
+        with pytest.raises(TypeError):
+            op()
+
+
+def test_tree_fold_additive(rng, ctx):
+    xs = [rng.randrange(P) for _ in range(7)]
+    total = share_of(ctx, xs).tree_fold(lambda a, b: a + b).open()
+    assert total == sum(xs) % P
+
+
 def test_scalar_share_ops():
     """Scalar Share surface (reference dataflow.py:50): linear ops local,
     * via Beaver mixin, open returns the agreed value."""
