@@ -56,8 +56,39 @@ def measure(n=64, t=21, target_secs=6.0):
     }
 
 
+def measure_triples(n=64, t=21, k=100, target_secs=6.0):
+    """Single-core randousha-shaped Beaver triple rate (ONE party's work:
+    deal + hyperinvertible extraction NTTs per slot, local products, and
+    the degree-2t finish open; verification decodes excluded — CPU-favoring,
+    see native bench_triple_pipeline). The second of the reference's two
+    performance determinants (docs/performance.rst)."""
+    from honeybadgermpc_tpu.native import get_native
+
+    nat = get_native()
+    assert nat is not None, "native extension failed to build"
+    secs, kt, chk = nat.bench_triple_pipeline(n, t, k, 2)
+    assert chk == 0, "finish-open validation mismatch: baseline broken"
+    iters = max(3, int(target_secs / max(secs / 2, 1e-9)))
+    secs, kt, chk = nat.bench_triple_pipeline(n, t, k, iters)
+    assert chk == 0
+    rate = kt * iters / secs
+    return {
+        "metric": "cpu_single_core_triples_per_s",
+        "value": round(rate, 1),
+        "unit": "triples/s",
+        "n": n,
+        "t": t,
+        "batch": kt,
+        "iters": iters,
+        "pipeline": "randousha deal+extract NTTs + local products + "
+                    "degree-2t finish open (one party, no verify decodes)",
+        "cpu": platform.processor() or platform.machine(),
+    }
+
+
 def main():
     out = measure()
+    out["triples"] = measure_triples()
     path = os.path.join(REPO, "BASELINE_MEASURED.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

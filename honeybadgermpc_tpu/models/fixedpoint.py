@@ -39,7 +39,7 @@ def random2m(ctx: MpcContext, B: int, m: int):
     """m-bit random share per element: (value share [.., B],
     bit shares [.., B, m] LSB first) — fixedpoint.py:91-98 batched."""
     bits = ctx.preproc.get_bits(B * m)                       # [n?, B*m]
-    lead = bits.shape[:1] if ctx.sim else ()
+    lead = bits.shape[:ctx.lead]
     bits = bits.reshape(lead + (B, m))
     weights = FpArray.from_ints([1 << i for i in range(m)])  # [m]
     val = _sum_last(bits * weights)

@@ -180,7 +180,7 @@ def jubjub_mul_jit(ctx: MpcContext, pt: SharedPoint, scalar: int,
     nbits = max(1, scalar.bit_length())
     bits = jnp.array([(scalar >> i) & 1 for i in reversed(range(nbits))],
                      jnp.uint32)
-    elem_shape = pt.xs.v.shape[1:] if ctx.sim else pt.xs.v.shape
+    elem_shape = pt.xs.v.shape[ctx.lead:]
     ident = SharedPoint.from_point(ctx, Point(0, 1, pt.curve), elem_shape)
     out = run_fused_scan(
         ctx, _ladder_step, (ident.xs, ident.ys, pt.xs, pt.ys), nbits,
@@ -221,17 +221,13 @@ def share_mul(ctx: MpcContext, bits: ShareArray, p: Point) -> SharedPoint:
 
 
 def _lift(ctx, pub: FpArray) -> FpArray:
-    """Public values -> constant sharing tensor (adds party axis in sim)."""
-    if ctx.sim:
-        import jax.numpy as jnp
-        limbs = jnp.broadcast_to(pub.limbs[:, None, ...],
-                                 pub.limbs.shape[:1] + (ctx.n,) + pub.limbs.shape[1:])
-        return FpArray(limbs)
-    return pub
+    """Public values -> constant sharing tensor (adds the local party axis
+    when the backend carries one)."""
+    return ctx.lift_public(pub)
 
 
 def _last_axis(ctx, sa: ShareArray):
-    return sa.v.ndim - (2 if ctx.sim else 1)
+    return sa.v.ndim - 1 - ctx.lead
 
 
 def _numel(sa: ShareArray):
@@ -239,7 +235,7 @@ def _numel(sa: ShareArray):
 
 
 def _term_axis(ctx):
-    return 1 if ctx.sim else 0
+    return ctx.lead
 
 
 def _move_term_axis(ctx, bits: ShareArray) -> ShareArray:

@@ -135,7 +135,6 @@ def mimc_mpc_shared_key(ctx: MpcContext, xs_pub: FpArray,
 
 def _broadcast_key(ctx: MpcContext, key_share: ShareArray, B: int) -> ShareArray:
     kv = key_share.v
-    lead = kv.shape[0:1] if ctx.sim else ()
     assert kv.shape[-1] == 1
     import jax.numpy as jnp
     limbs = jnp.broadcast_to(kv.limbs, kv.limbs.shape[:-1] + (B,))

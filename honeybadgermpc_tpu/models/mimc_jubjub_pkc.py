@@ -29,8 +29,7 @@ def key_generation(ctx: MpcContext, key_bits: int = KEY_BITS):
     (reference :14-26)."""
     bits = ctx.from_preproc(ctx.preproc.get_bits(key_bits))
     bits = ctx.ShareArray(bits.v.reshape(
-        bits.v.shape[:1] + (1, key_bits)) if ctx.sim else
-        bits.v.reshape(1, key_bits), bits.t)
+        bits.v.shape[:ctx.lead] + (1, key_bits)), bits.t)
     pub_shared = share_mul(ctx, bits, GP)
     x, y = pub_shared.open()
     return bits, Point(int(x.to_ints()[0][0]), int(y.to_ints()[0][0]))

@@ -33,6 +33,11 @@ class AvssValueProcessor:
         self.sequencers = [Sequencer() for _ in range(n)]
         self.outputs_per_dealer = [[] for _ in range(n)]
         self.output_queue = asyncio.Queue()
+        # agreed-but-not-yet-received slots, resolved event-driven from
+        # _input_loop (reference chains futures, avss_value_processor.py:
+        # 158-164 — no polling)
+        self._pending: list[dict[int, asyncio.Future]] = [
+            {} for _ in range(n)]
         self._emitted = [0 for _ in range(n)]
         self._rr_dealer = 0
         self._acs_round = 0
@@ -57,7 +62,11 @@ class AvssValueProcessor:
             self.sequencers[dealer_id].add((seq, value))
             while self.sequencers[dealer_id].is_next_available():
                 _, v = self.sequencers[dealer_id].get()
+                k = len(self.inputs_per_dealer[dealer_id])
                 self.inputs_per_dealer[dealer_id].append(v)
+                fut = self._pending[dealer_id].pop(k, None)
+                if fut is not None and not fut.done():
+                    fut.set_result(v)
 
     async def _acs_loop(self):
         while True:
@@ -95,12 +104,8 @@ class AvssValueProcessor:
                 if k < len(self.inputs_per_dealer[j]):
                     fut.set_result(self.inputs_per_dealer[j][k])
                 else:
-                    # value not yet locally available: resolve when it lands
-                    async def waiter(j=j, k=k, fut=fut):
-                        while k >= len(self.inputs_per_dealer[j]):
-                            await asyncio.sleep(0.01)
-                        fut.set_result(self.inputs_per_dealer[j][k])
-                    t = asyncio.ensure_future(waiter())
-                    self._tasks.append(t)
+                    # not yet locally available: _input_loop resolves it on
+                    # arrival (event-driven, no polling)
+                    self._pending[j][k] = fut
                 self.outputs_per_dealer[j].append(fut)
                 self.output_queue.put_nowait((j, fut))

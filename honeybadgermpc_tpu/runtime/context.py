@@ -18,7 +18,7 @@ import numpy as np
 
 from ..ops.fparray import FpArray
 from ..ops.limbs import P
-from ..parallel.mesh import SimBackend
+from ..parallel.mesh import HybridBackend, SimBackend
 from ..parallel.reconstruct import batch_reconstruct
 from .preprocessing import PreProcessedElements
 
@@ -48,7 +48,7 @@ class ShareArray:
 
     @property
     def shape(self):
-        return self.v.shape[1:] if self.ctx.sim else self.v.shape
+        return self.v.shape[self.ctx.lead:]
 
     def _like(self, v, t=None):
         return ShareArray(self.ctx, v, self.t if t is None else t)
@@ -102,15 +102,20 @@ class ShareArray:
 
     def __truediv__(self, other):
         if isinstance(other, ShareArray):
+            self._check_ctx(other)
             return self.ctx.call_mixin(MixinConstants.DivideShareArrays,
                                        self, other)
         pub = self._coerce_public(other)
         return self._like(self.v * pub.inv())
 
     def __eq__(self, other):  # secure equality test -> shares of 0/1
+        if isinstance(other, ShareArray):
+            self._check_ctx(other)
         return self.ctx.call_mixin(MixinConstants.ShareEquality, self, other)
 
     def __lt__(self, other):
+        if isinstance(other, ShareArray):
+            self._check_ctx(other)
         return self.ctx.call_mixin(MixinConstants.ShareLessThan, self, other)
 
     __hash__ = None
@@ -134,19 +139,19 @@ class ShareArray:
         return self.ctx.call_mixin(MixinConstants.InvertShareArray, self)
 
     def take(self, idx, axis=0):
-        off = 1 if self.ctx.sim else 0
+        off = self.ctx.lead
         return self._like(self.v.take(idx, axis=axis + off))
 
     def reshape(self, *shape):
         if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
             shape = tuple(shape[0])
-        lead = self.v.shape[:1] if self.ctx.sim else ()
+        lead = self.v.shape[:self.ctx.lead]
         return self._like(self.v.reshape(lead + shape))
 
     @staticmethod
     def concat(arrays, axis=0):
         ctx = arrays[0].ctx
-        off = 1 if ctx.sim else 0
+        off = ctx.lead
         t = arrays[0].t
         assert all(a.t == t for a in arrays)
         return ShareArray(ctx, FpArray.concatenate(
@@ -177,8 +182,15 @@ class ShareArray:
         """Product of all elements in log2(k) rounds of one batched Beaver
         multiply each (reference dataflow.py:281-287). Empty array folds to
         the constant-1 share (every party holds 1: the degree-0 sharing)."""
-        if len(self.shape) == 1 and self.shape[0] == 0:
-            lead = self.v.shape[:1] if self.ctx.sim else ()
+        numel = 1
+        for d in self.shape:
+            numel *= d
+        if numel == 0:
+            if len(self.shape) != 1:
+                raise ValueError(
+                    f"multiplicative_product needs a 1-D ShareArray; got "
+                    f"empty shape {self.shape}")
+            lead = self.v.shape[:self.ctx.lead]
             return Share(self._like(FpArray.ones(lead + (1,))))
         return self.tree_fold(ShareArray.__mul__)
 
@@ -288,10 +300,34 @@ def divide_share_arrays(ctx: "MpcContext", x: ShareArray, y: ShareArray):
     return beaver_multiply_arrays(ctx, x, invert_share_array(ctx, y))
 
 
+def double_sharing_multiply_arrays(ctx: "MpcContext", x: ShareArray,
+                                   y: ShareArray):
+    """share_arithmetic.py:71 DoubleSharingMultiplyArrays — the reference's
+    second multiplication strategy: local degree-2t product, masked with a
+    preprocessed double sharing (r_t, r_2t), ONE open at degree 2t, unmask:
+
+        d = open(x*y - r_2t);   xy_t = r_t + d
+
+    One round instead of Beaver's open-then-combine two-trip (it consumes
+    double_shares instead of triples). Select it via
+    ``mixins={MixinConstants.MultiplyShareArray:
+    double_sharing_multiply_arrays}`` (the reference's config injection,
+    mpc.py:84-99)."""
+    xf, shape = _flatten_elements(ctx, x)
+    yf, _ = _flatten_elements(ctx, y)
+    k = xf.v.shape[-1]
+    r_t, r_2t = ctx.preproc_double_shares(k, xf)
+    z = xf.local_mul(yf)                            # degree-2t share of xy
+    d = ctx.open_double_share_array(
+        ShareArray(ctx, z.v - r_2t.v, 2 * ctx.t))
+    out = ShareArray(ctx, r_t.v + d, x.t)
+    return _unflatten_elements(ctx, out, shape)
+
+
 def _flatten_elements(ctx, x: ShareArray):
     """[party?, *S] -> ([party?, prod(S)], S)."""
-    lead = x.v.shape[:1] if ctx.sim else ()
-    shape = x.v.shape[1:] if ctx.sim else x.v.shape
+    lead = x.v.shape[:ctx.lead]
+    shape = x.v.shape[ctx.lead:]
     total = 1
     for d in shape:
         total *= d
@@ -303,12 +339,12 @@ def _flatten_elements(ctx, x: ShareArray):
 def _unflatten_elements(ctx, x: ShareArray, shape):
     if len(shape) == 1:
         return x
-    lead = x.v.shape[:1] if ctx.sim else ()
+    lead = x.v.shape[:ctx.lead]
     return ShareArray(ctx, x.v.reshape(lead + tuple(shape)), x.t)
 
 
 def x_last_axis(ctx, x: ShareArray):
-    return x.v.ndim - (2 if ctx.sim else 1)
+    return x.v.ndim - 1 - ctx.lead
 
 
 def _numel(ctx, x: ShareArray):
@@ -324,6 +360,24 @@ DEFAULT_MIXINS = {
     MixinConstants.InvertShareArray: invert_share_array,
     MixinConstants.DivideShareArrays: divide_share_arrays,
 }
+
+
+def _assert_party_agreement(secrets: FpArray):
+    """Sim-open blind-spot closer: every simulated party decodes the open
+    independently, so a per-party decode divergence bug would otherwise be
+    invisible to tests that read party 0's view (the reference's honest
+    parties agree by protocol; mpc.py:262-264 asserts redundancy). Eager
+    sim opens only; skipped under trace and via HBMPC_NO_AGREEMENT_CHECK."""
+    import os
+
+    import jax.core
+    if os.environ.get("HBMPC_NO_AGREEMENT_CHECK"):
+        return
+    if isinstance(secrets.limbs, jax.core.Tracer):
+        return
+    lim = secrets.limbs                      # [L, n, ...]
+    ok = bool(jax.device_get(jnp.all(lim == lim[:, :1])))
+    assert ok, "sim open: per-party decoded values diverged"
 
 
 class MpcContext:
@@ -343,6 +397,12 @@ class MpcContext:
         self.n, self.t = n, t
         self.backend = backend or SimBackend(n)
         self.sim = isinstance(self.backend, SimBackend)
+        # number of leading LOCAL party axes on share tensors: SimBackend
+        # carries all n parties ([n, ...]), HybridBackend its per-device
+        # slice ([pp, ...]); MeshBackend (one party per device inside
+        # shard_map) carries none
+        self.lead = 1 if isinstance(self.backend,
+                                    (SimBackend, HybridBackend)) else 0
         self.preproc = preproc
         self.use_omega_powers = use_omega_powers
         self.robust = robust
@@ -350,6 +410,26 @@ class MpcContext:
         if mixins:
             self.config.update(mixins)
         self.opened_count = 0
+
+    @property
+    def local_parties(self) -> int:
+        """Size of the leading local party axis (sim: n; hybrid: n/D;
+        mesh: 0 — no local axis)."""
+        if isinstance(self.backend, SimBackend):
+            return self.n
+        if isinstance(self.backend, HybridBackend):
+            return self.backend.pp
+        return 0
+
+    def lift_public(self, pub: FpArray) -> FpArray:
+        """Public values -> every local party's constant view (adds the
+        leading local party axis when the backend carries one)."""
+        if not self.lead:
+            return pub
+        limbs = jnp.broadcast_to(
+            pub.limbs[:, None, ...],
+            pub.limbs.shape[:1] + (self.local_parties,) + pub.limbs.shape[1:])
+        return FpArray(limbs)
 
     # -- construction ------------------------------------------------------
     def ShareArray(self, v: FpArray, t: int | None = None) -> ShareArray:
@@ -374,6 +454,11 @@ class MpcContext:
     def preproc_rands(self, k: int, like: ShareArray):
         return self.from_preproc(self.preproc.get_rands(k))
 
+    def preproc_double_shares(self, k: int, like: ShareArray):
+        r_t, r_2t = self.preproc.get_double_shares(k)
+        return (self.from_preproc(r_t),
+                self.from_preproc(r_2t, t=2 * self.t))
+
     def call_mixin(self, name: str, *args):
         assert name in self.config, f"missing mixin {name}"
         return self.config[name](self, *args)
@@ -395,6 +480,7 @@ class MpcContext:
             from ..parallel.reconstruct import sim_batch_reconstruct
             secrets, nerr = sim_batch_reconstruct(
                 v, self.n, d, self.use_omega_powers, self.robust)
+            _assert_party_agreement(secrets)
         else:
             secrets, nerr = batch_reconstruct(
                 self.backend, v, self.n, d,

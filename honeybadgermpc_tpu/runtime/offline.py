@@ -176,9 +176,8 @@ def generate_triples(backend, n: int, t: int, k: int, key,
     r2t = FpArray(r_2t.limbs[..., 2 * cnt:3 * cnt])
 
     ab_plus_r = a * b + r2t                         # local degree-2t share
-    opened, nerr = _open_columns(backend, _as_cols(backend, ab_plus_r), n,
-                                 2 * t, in_graph_fallback)
-    opened = _from_cols(backend, opened)
+    opened, nerr = _open_columns(backend, ab_plus_r, n, 2 * t,
+                                 in_graph_fallback)
     ab = opened - rt                                # degree-t share of ab
     ok = ok & (jnp.sum(nerr) == 0)
     return a, b, ab, ok
@@ -198,12 +197,11 @@ def generate_bits(backend, n: int, t: int, k: int, key,
     # open u^2 (masked at 2t then unmasked publicly: u2 = open(u*u + r_2t) - open(r)…
     # simpler: open u*u + r_2t, then subtract r_t and open again)
     u2_masked = u * u + r2t
-    opened, e1 = _open_columns(backend, _as_cols(backend, u2_masked), n,
-                               2 * t, in_graph_fallback)
-    u2_share = _from_cols(backend, opened) - rt     # degree-t share of u^2
-    u2, e2 = _open_columns(backend, _as_cols(backend, u2_share), n, t,
-                           in_graph_fallback)
-    u2 = _from_cols(backend, u2)                    # public u^2
+    opened, e1 = _open_columns(backend, u2_masked, n, 2 * t,
+                               in_graph_fallback)
+    u2_share = opened - rt                          # degree-t share of u^2
+    u2, e2 = _open_columns(backend, u2_share, n, t,
+                           in_graph_fallback)       # public u^2
 
     root, has_root = u2.sqrt()                      # canonical root
     # bit = (u/root + 1) / 2  in {0, 1}; u == ±root
@@ -212,14 +210,6 @@ def generate_bits(backend, n: int, t: int, k: int, key,
     bits = (sign + FpArray.from_int(1)) * inv2
     ok = ok & (jnp.sum(e1) == 0) & (jnp.sum(e2) == 0) & jnp.all(has_root)
     return bits, ok
-
-
-def _as_cols(backend, x: FpArray) -> FpArray:
-    return x
-
-
-def _from_cols(backend, x: FpArray) -> FpArray:
-    return x
 
 
 def fused_randousha(backend, n: int, t: int, k: int, key):

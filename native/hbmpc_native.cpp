@@ -598,20 +598,10 @@ static void bl_rand_fr(Fr& o) {
     o.v[3] &= 0x3fffffffffffffffULL;          // < 2^254 < p
 }
 
-// bench_open_pipeline(n, t, C, iters) -> (seconds, checksum)
-static PyObject* py_bench_open(PyObject*, PyObject* args) {
-    int n, t, C, iters;
-    if (!PyArg_ParseTuple(args, "iiii", &n, &t, &C, &iters)) return nullptr;
-    if (n & (n - 1)) {
-        PyErr_SetString(PyExc_ValueError, "n must be a power of two");
-        return nullptr;
-    }
-    int k = t + 1;
-    double secs = 0.0;
-    u64 checksum = 0;
+// --- shared setup for the single-core pipeline baselines -------------------
 
-    Py_BEGIN_ALLOW_THREADS
-    // omega of order n: g^((p-1)/n) with g = 7 (Fr* generator)
+// omega of order n: g^((p-1)/n) with g = 7 (Fr* generator)
+static void build_omega(int n, u64 omega_m[4]) {
     u64 e[4] = {P_[0], P_[1], P_[2], P_[3]};
     e[0] -= 1;                                 // p - 1 (low limb has no borrow)
     int sh = 0;
@@ -620,12 +610,14 @@ static PyObject* py_bench_open(PyObject*, PyObject* args) {
         e[i] >>= sh;
         if (i < 3) e[i] |= e[i + 1] << (64 - sh);
     }
-    u64 g_plain[4] = {7, 0, 0, 0}, g_m[4], omega_m[4];
+    u64 g_plain[4] = {7, 0, 0, 0}, g_m[4];
     to_mont(g_plain, g_m);
     mont_pow(g_m, e, 255, omega_m);
+}
 
-    // twiddle table tw[half + j] = (omega^(n/len))^j
-    std::vector<Fr> tw(n);
+// twiddle table tw[half + j] = (omega^(n/len))^j
+static void build_twiddles(int n, const u64 omega_m[4], std::vector<Fr>& tw) {
+    tw.resize(n);
     for (int len = 2; len <= n; len <<= 1) {
         int half = len >> 1;
         u64 wl[4];
@@ -634,8 +626,10 @@ static PyObject* py_bench_open(PyObject*, PyObject* args) {
         memcpy(tw[half].v, R1_, 32);
         for (int j = 1; j < half; ++j) mont_mul(tw[half + j - 1].v, wl, tw[half + j].v);
     }
+}
 
-    // k points x_j = omega^j; interpolation matrix Ik[c*k + j]
+// k points x_j = omega^j; interpolation matrix Ik[c*k + j]
+static void build_interp(int k, const u64 omega_m[4], std::vector<Fr>& Ik) {
     std::vector<Fr> xs(k);
     memcpy(xs[0].v, R1_, 32);
     for (int j = 1; j < k; ++j) mont_mul(xs[j - 1].v, omega_m, xs[j].v);
@@ -651,7 +645,7 @@ static PyObject* py_bench_open(PyObject*, PyObject* args) {
             sub_(shifted, t1, A[d].v);
         }
     }
-    std::vector<Fr> Ik((size_t)k * k);
+    Ik.resize((size_t)k * k);
     for (int j = 0; j < k; ++j) {
         std::vector<Fr> nj(k);
         u64 carry[4]; memcpy(carry, A[k].v, 32);
@@ -673,6 +667,27 @@ static PyObject* py_bench_open(PyObject*, PyObject* args) {
         for (int c = 0; c < k; ++c)
             mont_mul(nj[c].v, dinv, Ik[(size_t)c * k + j].v);
     }
+}
+
+// bench_open_pipeline(n, t, C, iters) -> (seconds, checksum)
+static PyObject* py_bench_open(PyObject*, PyObject* args) {
+    int n, t, C, iters;
+    if (!PyArg_ParseTuple(args, "iiii", &n, &t, &C, &iters)) return nullptr;
+    if (n & (n - 1)) {
+        PyErr_SetString(PyExc_ValueError, "n must be a power of two");
+        return nullptr;
+    }
+    int k = t + 1;
+    double secs = 0.0;
+    u64 checksum = 0;
+
+    Py_BEGIN_ALLOW_THREADS
+    u64 omega_m[4];
+    build_omega(n, omega_m);
+    std::vector<Fr> tw;
+    build_twiddles(n, omega_m, tw);
+    std::vector<Fr> Ik;
+    build_interp(k, omega_m, Ik);
 
     // random message coefficients (Montgomery residues; domain irrelevant)
     bl_rng = 0x9E3779B97F4A7C15ULL;
@@ -723,9 +738,122 @@ static PyObject* py_bench_open(PyObject*, PyObject* args) {
     return Py_BuildValue("dK", secs, (unsigned long long)checksum);
 }
 
+// bench_triple_pipeline(n, t, k, iters) -> (seconds, triples_per_iter, chk)
+//
+// Single-core model of ONE party's steady-state work in randousha-based
+// Beaver triple generation (reference offline_randousha.py:34-191):
+//   per slot (3k slots per batch of k*(n-2t) triples):
+//     deal:        NTT-encode the degree-t and degree-2t polynomials
+//     extraction:  NTT re-encode the n received values (hyperinvertible
+//                  matmul), both degrees
+//   triple finish: local a*b+r products, then the degree-2t batch open
+//   (encode C2 chunks + two rounds of k2-point matvec interpolation with
+//   NTT re-encode validation — the bench_open_pipeline structure).
+// CPU-favorably EXCLUDES the H2/H3 verification decodes (the TPU number
+// includes its aggregated check), so the reported baseline is an upper
+// bound on the reference-shaped single-core rate.
+static PyObject* py_bench_triples(PyObject*, PyObject* args) {
+    int n, t, k, iters;
+    if (!PyArg_ParseTuple(args, "iiii", &n, &t, &k, &iters)) return nullptr;
+    if (n & (n - 1)) {
+        PyErr_SetString(PyExc_ValueError, "n must be a power of two");
+        return nullptr;
+    }
+    int k1 = t + 1, k2 = 2 * t + 1;
+    int nout = n - 2 * t;
+    long ntriples = (long)k * nout;
+    int C2 = (int)((ntriples + k2 - 1) / k2);
+    double secs = 0.0;
+    u64 checksum = 0;                              // decode mismatch count
+    u64 sink = 0;                                  // DCE guard, not a check
+
+    Py_BEGIN_ALLOW_THREADS
+    u64 omega_m[4];
+    build_omega(n, omega_m);
+    std::vector<Fr> tw;
+    build_twiddles(n, omega_m, tw);
+    std::vector<Fr> Ik2;
+    build_interp(k2, omega_m, Ik2);
+
+    bl_rng = 0x9E3779B97F4A7C15ULL;
+    int slots = 3 * k;
+    std::vector<Fr> coeffs((size_t)slots * k2);    // dealer poly coeffs
+    for (auto& f : coeffs) bl_rand_fr(f);
+    std::vector<Fr> a(ntriples), b(ntriples), r(ntriples);
+    for (auto& f : a) bl_rand_fr(f);
+    for (auto& f : b) bl_rand_fr(f);
+    for (auto& f : r) bl_rand_fr(f);
+    std::vector<Fr> tmp(n), dec(k2), recv(n);
+    std::vector<Fr> zc((size_t)C2 * k2);           // finish-open chunk coeffs
+    std::vector<Fr> zsh((size_t)C2 * n);           // its share columns
+    memset(zc.data(), 0, zc.size() * 32);
+
+    struct timespec t0, t1;
+    clock_gettime(CLOCK_MONOTONIC, &t0);
+    for (int it = 0; it < iters; ++it) {
+        // RanDouSha: 4 n-point NTTs per slot (deal t, deal 2t, extract x2)
+        for (int s = 0; s < slots; ++s) {
+            const Fr* c = &coeffs[(size_t)s * k2];
+            memcpy(tmp.data(), c, (size_t)k1 * 32);
+            memset(&tmp[k1], 0, (size_t)(n - k1) * 32);
+            fr_ntt(tmp.data(), n, tw.data());
+            memcpy(recv.data(), tmp.data(), (size_t)n * 32);   // stand-in
+            memcpy(tmp.data(), c, (size_t)k2 * 32);
+            memset(&tmp[k2], 0, (size_t)(n - k2) * 32);
+            fr_ntt(tmp.data(), n, tw.data());
+            for (int d = 0; d < 2; ++d) {          // hyperinvertible encode
+                memcpy(tmp.data(), recv.data(), (size_t)n * 32);
+                fr_ntt(tmp.data(), n, tw.data());
+                sink ^= tmp[0].v[0];               // keep the NTTs live
+            }
+        }
+        // triple finish: z = a*b + r locally, open z at degree 2t
+        for (long i = 0; i < ntriples; ++i) {
+            u64 t1_[4];
+            mont_mul(a[i].v, b[i].v, t1_);
+            add_(t1_, r[i].v, zc[i].v);
+        }
+        for (int gi = 0; gi < C2; ++gi) {          // encode
+            memcpy(tmp.data(), &zc[(size_t)gi * k2], (size_t)k2 * 32);
+            memset(&tmp[k2], 0, (size_t)(n - k2) * 32);
+            fr_ntt(tmp.data(), n, tw.data());
+            memcpy(&zsh[(size_t)gi * n], tmp.data(), (size_t)n * 32);
+        }
+        for (int round = 0; round < 2; ++round) {  // R1/R2 decode+validate
+            for (int gi = 0; gi < C2; ++gi) {
+                const Fr* y = &zsh[(size_t)gi * n];
+                for (int c = 0; c < k2; ++c) {
+                    u64 acc[4] = {0, 0, 0, 0};
+                    const Fr* row = &Ik2[(size_t)c * k2];
+                    for (int j = 0; j < k2; ++j) {
+                        u64 t1_[4], t2_[4];
+                        mont_mul(row[j].v, y[j].v, t1_);
+                        add_(acc, t1_, t2_);
+                        memcpy(acc, t2_, 32);
+                    }
+                    memcpy(dec[c].v, acc, 32);
+                }
+                memcpy(tmp.data(), dec.data(), (size_t)k2 * 32);
+                memset(&tmp[k2], 0, (size_t)(n - k2) * 32);
+                fr_ntt(tmp.data(), n, tw.data());
+                for (int j = 0; j < n; ++j)
+                    checksum += (u64)(memcmp(tmp[j].v, y[j].v, 32) != 0);
+            }
+        }
+    }
+    clock_gettime(CLOCK_MONOTONIC, &t1);
+    secs = (t1.tv_sec - t0.tv_sec) + (t1.tv_nsec - t0.tv_nsec) * 1e-9;
+    if (sink == 0x6a09e667f3bcc908ULL) checksum += 1;   // never in practice
+    Py_END_ALLOW_THREADS
+
+    return Py_BuildValue("dlK", secs, ntriples, (unsigned long long)checksum);
+}
+
 static PyMethodDef Methods[] = {
     {"bench_open_pipeline", py_bench_open, METH_VARARGS,
      "single-core batch-open pipeline baseline: (n,t,C,iters)->(secs,chk)"},
+    {"bench_triple_pipeline", py_bench_triples, METH_VARARGS,
+     "single-core randousha-triple baseline: (n,t,k,iters)->(secs,kt,chk)"},
     {"mulmod_vec", py_mulmod, METH_VARARGS, "elementwise a*b mod p"},
     {"addmod_vec", py_addmod, METH_VARARGS, "elementwise a+b mod p"},
     {"submod_vec", py_submod, METH_VARARGS, "elementwise a-b mod p"},
