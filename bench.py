@@ -40,6 +40,39 @@ def _baseline():
         return NTL_SINGLE_CORE_EST, "ntl_single_core_estimate"
 
 
+def _triple_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        return float(rec["triples"]["value"]), "measured_cpu_single_core"
+    except Exception:
+        return None, None
+
+
+def bench_triples(n=64, t=21, k=2048, iters=10):
+    """Verified Beaver triples/s on one chip (the reference's second
+    performance determinant, docs/performance.rst): 2x single-degree
+    RanSha (a, b) + RanDouSha (r) + fused a*b+r_2t finish opened at 2t —
+    runtime/offline.py::fused_generate_triples. k=2048 slots -> 45056
+    triples per dispatch (measured-best; ~flat through 4096)."""
+    import jax
+
+    from honeybadgermpc_tpu.runtime.offline import sim_offline_jit
+
+    key = jax.random.PRNGKey(7)
+    run = sim_offline_jit("generate_triples", n, t, k)
+    a, b, ab, ok = run(key)                  # compile + correctness gate
+    assert bool(jax.device_get(ok)), "triple verification failed"
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        a, b, ab, ok = run(key)
+    jax.device_get(ok)
+    dt = (time.perf_counter() - t0) / iters
+    return k * (n - 2 * t) / dt
+
+
 def main():
     from honeybadgermpc_tpu.ops.fused_open import pack_limbs
     from honeybadgermpc_tpu.parallel.reconstruct import \
@@ -125,14 +158,21 @@ def main():
 
     rate = B / dt
     base, base_src = _baseline()
-    print(json.dumps({
+    rec = {
         "metric": "batch_open_shares_per_s_n64_t21",
         "value": round(rate, 1),
         "unit": "shares/s",
         "vs_baseline": round(rate / base, 2),
         "baseline_shares_per_s": base,
         "baseline_source": base_src,
-    }))
+    }
+    trate = bench_triples()
+    tbase, _ = _triple_baseline()
+    rec["triples_per_s_n64_t21"] = round(trate, 1)
+    if tbase:
+        rec["triples_vs_baseline"] = round(trate / tbase, 2)
+        rec["baseline_triples_per_s"] = tbase
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -67,15 +67,32 @@ def bench_batch_opening():
     import jax
     from honeybadgermpc_tpu.parallel.reconstruct import _sim_reconstruct_jit
     from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
-    for n, t in [(4, 1), (7, 2)]:
+    for n, t in [(4, 1), (7, 2), (64, 21)]:
         for logk in (6, 10):
             k = ((1 << logk) // (t + 1)) * (t + 1)
             pre = PreProcessedElements(n, t, seed=0)
             pre.generate_rands(k)
             shares = pre.get_rands(k)
             run = _sim_reconstruct_jit(n, t, False, True)
-            dt = _time(lambda: run(shares.limbs))
-            _emit("batch_opening", {"n": n, "t": t, "k": k}, k / dt, "shares/s")
+            _emit("batch_opening",
+                  {"n": n, "t": t, "k": k, "path": _open_path(n, t)},
+                  k / _time(lambda: run(shares.limbs)), "shares/s")
+
+
+def _open_path(n, t):
+    """Which decode path _sim_reconstruct_jit selects for (n, t) on this
+    backend (recorded in the grid artifacts — VERDICT r03 #3)."""
+    import jax
+
+    from honeybadgermpc_tpu.ops.fused_open_direct import direct_fits
+    if jax.default_backend() in ("cpu",) or os.environ.get(
+            "HBMPC_NO_FUSED_OPEN"):
+        return "generic-xla"
+    if direct_fits(n, t + 1):
+        return "direct-1kernel"
+    if n % 8 == 0 and t + 1 <= 32:
+        return "fused-3kernel"
+    return "generic-xla"
 
 
 def bench_poly_interpolate():
@@ -108,15 +125,19 @@ def bench_fft_interpolate():
 
 
 def bench_gao_decode():
+    """Gao robust decode with t injected faults — the reference grid's
+    t in {1,3,5,10} plus its large rows {33,50,100}
+    (test_benchmark_reed_solomon.py:11-59; VERDICT r03 #3). Each row is the
+    jitted masked-EEA device kernel (ops/gao.py)."""
     import jax
     from honeybadgermpc_tpu.ops.fparray import FpArray
     from honeybadgermpc_tpu.ops.gao import gao_robust_decode
     from honeybadgermpc_tpu.ops.rs import Encoding
-    for t in (1, 3, 5, 10):
+    for t in (1, 3, 5, 10, 33, 50, 100):
         n = 3 * t + 1
         k = t + 1
         enc = Encoding(n)
-        batch = 256
+        batch = 256 if n <= 64 else max(16, 4096 // n)
         coeffs = FpArray.rand(jax.random.PRNGKey(2), (batch, k))
         shares = enc.encode(coeffs)
         # corrupt t positions
@@ -125,7 +146,12 @@ def bench_gao_decode():
         limbs = shares.limbs.at[:, :, :t].set(bad.limbs)
         shares = FpArray(limbs)
         zs = tuple(range(n))
-        dt = _time(lambda: gao_robust_decode(enc, zs, shares, k))
+        try:
+            dt = _time(lambda: gao_robust_decode(enc, zs, shares, k))
+        except Exception as e:               # compile OOM on small chips
+            _emit("gao_decode", {"t": t, "n": n, "batch": batch,
+                                 "error": type(e).__name__}, 0.0, "decodes/s")
+            continue
         _emit("gao_decode", {"t": t, "n": n, "batch": batch},
               batch / dt, "decodes/s")
 
@@ -386,7 +412,18 @@ def bench_scaling():
             hrun = make_hybrid_reconstruct(device_mesh(ndev), n, t)
             fn = lambda: hrun(shares)               # noqa: E731
         dt = _time(fn, iters=5)
-        _emit("open_scaling", {"n": n, "t": t, "devices": ndev, "batch": B},
+        # per-device cross-device collective bytes for one open (uint32
+        # words x 4): R1 all_to_all ships the (D-1)/D off-device fraction
+        # of each device's [L, n/D, C, n] column tensor; R2 all_gather
+        # receives the other devices' [L, n/D, C] value blocks
+        from honeybadgermpc_tpu.ops.limbs import L
+        C = B // k
+        pp = n // ndev
+        a2a = 4 * L * pp * C * n * (ndev - 1) // max(ndev, 1)
+        ag = 4 * L * C * (n - pp)
+        _emit("open_scaling",
+              {"n": n, "t": t, "devices": ndev, "batch": B,
+               "a2a_bytes_per_dev": a2a, "allgather_bytes_per_dev": ag},
               B / dt, "shares/s")
 
 

@@ -66,33 +66,19 @@ from .fused_open import (NBAL, PL, TB, _BAL_ROUNDS, _bal_bias,
 
 ZG = 8            # output columns per in-kernel dot group (sublane multiple)
 _MAX_LANES = 4096  # mg*TB bound: keeps planes+d32 inside VMEM
-KMAX_DIRECT = 64   # balanced base-256 scheme bound (ops/fused_open.KMAX)
+# Contraction-length bound of the balanced base-256 digit scheme at k = 128:
+# |diag| <= NBAL*k*128^2 = 2^26 (int32 accumulation headroom 2^31) and the
+# 2-round REDC needs sum_r bias*256^r * 2 < p*2^32 ~ 2^287 (it is ~2^277).
+# k = t+1 up to 128 covers the reference's Gao grid rows t in {33, 50, 100}
+# and degree-2t openings well past n = 64.
+KMAX_DIRECT = 128
 
 
-def _pick_mg(k: int):
-    """Split the k coefficient-lanes into MG groups of mg = k/MG so one
-    group's lanes (mg*TB) fit the in-VMEM dot. Mosaic restricts the
-    blocked m axis (second-to-last of the share block) to multiples of 8
-    or the full axis, so mg is k itself or a multiple-of-8 divisor.
-    Returns (MG, mg) or None."""
-    if k * TB <= _MAX_LANES:
-        return 1, k
-    for mg in range(8 * (_MAX_LANES // (8 * TB)), 0, -8):
-        if k % mg == 0:
-            return k // mg, mg
-    return None
-
-
-def direct_fits(n: int, k: int) -> bool:
-    """VMEM budget check: double-buffered share block + planes + d32 +
-    bands + fold temps. The 28 MB budget is empirical for the v5e bench
-    chip (the n=64, k=22 headline config sums to ~21 MB and compiles);
-    Mosaic raises at compile time on chips with less VMEM, and callers
-    keep the three-kernel fused path as the fallback."""
-    pick = _pick_mg(k)
-    if pick is None or n <= k or k > KMAX_DIRECT:
-        return False
-    _, mg = pick
+def _fits_budget(n: int, k: int, mg: int, limit: int) -> bool:
+    """VMEM budget for one (n, k, mg) kernel config: double-buffered share
+    block + planes + d32 + bands + fold temps. Mosaic raises at compile
+    time on chips with less VMEM, and callers keep the three-kernel fused
+    path as the fallback."""
     kcols = -(-(k * NBAL) // 32) * 32
     lanes = mg * TB
     ngrp = -(-(n - k + 1) // ZG)
@@ -101,7 +87,34 @@ def direct_fits(n: int, k: int) -> bool:
     d32 = NBAL * ZG * lanes * 4
     band = ngrp * NBAL * ZG * kcols
     fold = 19 * ZG * lanes * 4 + (n - k + 8) * lanes * 4
-    return ablk + planes + d32 + band + fold + (2 << 20) < (28 << 20)
+    return ablk + planes + d32 + band + fold + (2 << 20) < limit
+
+
+def _pick_cfg(n: int, k: int):
+    """Choose the coefficient-lane split: the k chunk-coefficient lanes are
+    processed in MG groups of mg, with the m axis ZERO-PADDED to kp = MG*mg
+    (padded lanes decode zero shares to zero secrets and validate clean, so
+    any k is supported — Mosaic restricts the blocked m axis to multiples
+    of 8 or the full axis, NOT to divisors of k). Returns (MG, mg, kp) of
+    the largest mg that fits the VMEM budget, or None.
+
+    Budgets: the single-group (mg = k) path keeps the 28 MB empirical
+    budget the r03 headline config (n=64, k=22, measured scoped ~16.8 MB)
+    was tuned under; the multi-group path targets 14 MB — safely inside the
+    16 MB scoped-vmem limit this platform's compiler enforces (an mg=32
+    k=43 config with formula ~28 MB was rejected at 30.3 MB scoped)."""
+    if n <= k or k > KMAX_DIRECT:
+        return None
+    if k * TB <= _MAX_LANES and _fits_budget(n, k, k, 28 << 20):
+        return 1, k, k
+    for mg in range(8 * (_MAX_LANES // (8 * TB)), 0, -8):
+        if _fits_budget(n, k, mg, 14 << 20):
+            return -(-k // mg), mg, -(-k // mg) * mg
+    return None
+
+
+def direct_fits(n: int, k: int) -> bool:
+    return _pick_cfg(n, k) is not None
 
 
 @functools.lru_cache(maxsize=None)
@@ -179,7 +192,7 @@ def _direct_kernel(a_ref, w_ref, sec_ref, errs_ref, acc_ref, *, k, n, nv,
 def _direct_call(n: int, k: int, cpad: int, points: tuple):
     band_np, ngrp, kcols = _direct_band(points, k)
     nv = n - k
-    MG, mg = _pick_mg(k)
+    MG, mg, kp = _pick_cfg(n, k)
     nc = cpad // TB
     lanes = mg * TB
     nvr = -(-nv // 8) * 8
@@ -216,11 +229,15 @@ def _direct_call(n: int, k: int, cpad: int, points: tuple):
     )
     band = np.ascontiguousarray(band_np)
 
-    def run(view):                                # [PL, n, k, cpad]
+    def run(view):                                # [PL, n, kp, cpad]
+        if kp != k:                               # pad m lanes (see _pick_cfg)
+            view = jnp.concatenate(
+                [view, jnp.zeros(view.shape[:2] + (kp - k, cpad),
+                                 jnp.uint32)], axis=2)
         sec_flat, errs = call(view, band)
         # [PL, g, ci, m_local, TB] -> [PL, (g, m_local), (ci, TB)]
         sec = sec_flat.reshape(PL, MG, nc, mg, TB).transpose(0, 1, 3, 2, 4)
-        return sec.reshape(PL, k, cpad), errs
+        return sec.reshape(PL, kp, cpad)[:, :k], errs
 
     return run, nv
 

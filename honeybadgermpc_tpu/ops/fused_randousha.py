@@ -291,7 +291,7 @@ def _rho_band(key_data, ncheck: int, kca: int):
 
 @functools.lru_cache(maxsize=None)
 def _randousha_calls(n: int, t: int, sp: int, points: tuple,
-                     aggregate: bool = True):
+                     aggregate: bool = True, single: bool = False):
     """sp: padded slot count (multiple of TBW). Returns run(key_data) ->
     (keep_t, keep_2t packed [PL, n, n_outp, sp], ok-stats).
 
@@ -299,7 +299,15 @@ def _randousha_calls(n: int, t: int, sp: int, points: tuple,
     rho-weighted batched check per degree (see _rho_band — soundness
     1 - 1/p) instead of per-column opens; this removes the check tensor
     (>40% of pipeline HBM traffic). The per-column variant remains for
-    the protocol-faithful path and fault localization."""
+    the protocol-faithful path and fault localization.
+
+    single=True: RanSha — degree-t sharings ONLY (no 2t dealing, no
+    extraction at 2t, no cross-degree equality; the degree-t check still
+    validates every dealer's degree). run(key) -> (keep_t, nerr). Used
+    for the a/b slots of triple generation, which never need the 2t part
+    (reference generate_triples uses the full double sharings only out of
+    code reuse, offline_randousha.py:154-191 — the 2t halves of a and b
+    are discarded)."""
     assert fused_fits(n, t) and sp % TBW == 0
     k1, k2 = t + 1, 2 * t + 1
     n_out = n - 2 * t
@@ -468,23 +476,29 @@ def _randousha_calls(n: int, t: int, sp: int, points: tuple,
 
     def run(key_data):
         """key_data uint32[2] -> (keep_t, keep_2t [PL, n, n_outp, sp],
-        nerr int32 [] total check failures)."""
+        nerr int32 [] total check failures); single=True drops the 2t
+        tensor: (keep_t, nerr)."""
         kd_arg = key_data.reshape(1, 2)
         cols_t = kd_t(kd_arg, e1w)
-        cols_2t = kd_2(kd_arg, e2w)
         if aggregate:
             rb = _rho_band(key_data, ncheck, kca)
             keep_t, z_t = ke(cols_t, enw, rb)
-            keep_2t, z_2t = ke(cols_2t, enw, rb)
             vt, et = _open_z(z_t, t)
+            if single:
+                return keep_t, jnp.sum(et)
+            cols_2t = kd_2(kd_arg, e2w)
+            keep_2t, z_2t = ke(cols_2t, enw, rb)
             v2, e2 = _open_z(z_2t, 2 * t)
             neq = jnp.sum(jnp.any(vt[:, :sp] != v2[:, :sp],
                                   axis=0).astype(jnp.int32))
             nerr = jnp.sum(et) + jnp.sum(e2) + neq
             return keep_t, keep_2t, nerr
         keep_t, chk_t = ke(cols_t, enw)
-        keep_2t, chk_2t = ke(cols_2t, enw)
         vt, et = kc_t(chk_t, r1w)
+        if single:
+            return keep_t, jnp.sum(et[0, :ncheck])
+        cols_2t = kd_2(kd_arg, e2w)
+        keep_2t, chk_2t = ke(cols_2t, enw)
         v2, e2 = kc_2(chk_2t, r2w)
         # cross-degree equality on the real check columns (packed words)
         neq = jnp.sum(jnp.any(
@@ -495,6 +509,23 @@ def _randousha_calls(n: int, t: int, sp: int, points: tuple,
     run.parts = (kd_t, kd_2, ke, kc_t, kc_2, e1w, e2w, enw, r1w, r2w)
     run.meta = (n_out, n_outp, ncheck, ncheckp)
     return run
+
+
+def sim_ransha_fused(key_data, n: int, t: int, k: int):
+    """Single-degree RanSha: k slots -> k*(n-2t) verified random DEGREE-t
+    sharings, packed [PL, n, k*(n-2t)], plus ok. Same deal/extract/check
+    pipeline as RanDouSha minus everything 2t — used for the a/b slots of
+    triple generation, where the 2t halves would be dead weight (~40% of
+    the double pipeline's kernel time)."""
+    sp = -(-k // TBW) * TBW
+    from .rs import Encoding
+    enc = Encoding(n)
+    points = tuple(int(x) % P for x in enc.points)
+    run = _randousha_calls(n, t, sp, points, single=True)
+    keep_t, nerr = run(jnp.asarray(key_data, jnp.uint32))
+    n_out, n_outp, _, _ = run.meta
+    v = keep_t[:, :, :n_out, :k]
+    return v.reshape(PL, keep_t.shape[1], n_out * k), nerr == 0
 
 
 def sim_randousha_fused(key_data, n: int, t: int, k: int):

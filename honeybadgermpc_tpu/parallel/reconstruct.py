@@ -215,31 +215,45 @@ def _sim_reconstruct_jit(n: int, t: int, use_omega_powers: bool, robust: bool,
     backend = SimBackend(n)
     import os as _os
 
-    # the fused kernels tile dst parties in sublane groups of 8 and use
-    # the balanced base-256 digit scheme (k = t+1 <= 32)
-    use_fused = (jax.default_backend() not in ("cpu",)
-                 and n % 8 == 0 and t + 1 <= 32
-                 and not _os.environ.get("HBMPC_NO_FUSED_OPEN"))
+    on_tpu = (jax.default_backend() not in ("cpu",)
+              and not _os.environ.get("HBMPC_NO_FUSED_OPEN"))
+    from ..ops.fused_open_direct import direct_fits
 
-    if use_fused:
+    if on_tpu and direct_fits(n, t + 1):
+        # the direct kernel has no party-alignment constraint (the party
+        # axis is a leading dim) and covers k up to KMAX_DIRECT = 128 —
+        # this includes the reference benchmark grid's (4,1)/(7,2).
+        # non-robust and detect-only modes run the bare direct kernel
+        # (mismatches still counted in-dot); robust-with-fallback mode
+        # (opens under an enclosing jit) adds the in-graph lax.cond
         enc = Encoding(n, use_omega_powers=use_omega_powers)
         points = tuple(int(x) % mont.P for x in enc.points)
-        from ..ops.fused_open_direct import direct_fits
 
-        if direct_fits(n, t + 1):
-            # non-robust and detect-only modes run the bare direct kernel
-            # (mismatches still counted in-dot); robust-with-fallback mode
-            # (opens under an enclosing jit) adds the in-graph lax.cond
-            @jax.jit
-            def run_direct(limbs):
-                from ..ops.fused_open import pack_limbs
-                from ..ops.fused_open_direct import sim_open_direct_packed
-                return sim_open_direct_packed(pack_limbs(limbs), n, t,
-                                              points,
-                                              robust=robust and fallback)
+        @jax.jit
+        def run_direct(limbs):
+            from ..ops.fused_open import pack_limbs
+            from ..ops.fused_open_direct import sim_open_direct_packed
+            # extra batch dims between party and B flatten into one open
+            # axis (each trailing block is a multiple of t+1, so chunk
+            # boundaries stay aligned) and restore after
+            shp = limbs.shape                    # [L, n, *mid, B]
+            if limbs.ndim > 3:
+                limbs = limbs.reshape(shp[:2] + (-1,))
+            sec, nerr = sim_open_direct_packed(pack_limbs(limbs), n, t,
+                                               points,
+                                               robust=robust and fallback)
+            if len(shp) > 3:
+                sec = sec.reshape(sec.shape[:2] + shp[2:])
+            return sec, nerr
 
-            run_direct.packed = True
-            return run_direct
+        run_direct.packed = True
+        return run_direct
+
+    # the three-kernel fused pipeline tiles dst parties in sublane groups
+    # of 8 and uses the balanced base-256 digit scheme (k = t+1 <= 32)
+    if on_tpu and n % 8 == 0 and t + 1 <= 32:
+        enc = Encoding(n, use_omega_powers=use_omega_powers)
+        points = tuple(int(x) % mont.P for x in enc.points)
 
         @jax.jit
         def run_fused(limbs):

@@ -19,9 +19,8 @@ import asyncio
 import hashlib
 import pickle
 import random as _random
-from collections import defaultdict
 
-from ..betterpairing import G1, ZR
+from ..betterpairing import G1, ZR, interpolate_g1_at_x
 from ..crypto import symmetric
 from ..crypto.poly_commit_const import PolyCommitConst, eval_poly
 from ..crypto.poly_commit_lin import PolyCommitLin
@@ -281,7 +280,7 @@ class HbAvssBatch:
                 vote_send(dest, o)
 
         shared_key = epk ** self.sk
-        shares = None
+        shares = auxes = wits = None
         ok = False
         try:
             payload = symmetric.decrypt(shared_key, my_blob)
@@ -292,6 +291,8 @@ class HbAvssBatch:
                 [w for _, _, w in payload])
             if ok:
                 shares = [s for s, _, _ in payload]
+                auxes = [a for _, a, _ in payload]
+                wits = [w for _, _, w in payload]
         except ValueError:
             ok = False
 
@@ -304,13 +305,61 @@ class HbAvssBatch:
 
         # The vote handler OUTLIVES this party's own output (exactly like
         # HbAvssLight above, reference hbavss.py keeps _process_avss_msg
-        # running): honest parties must keep serving IMPLICATE/RECOVER
+        # running): honest parties must keep serving IMPLICATE/R1/R2
         # after they return, or a cheated party whose implicate arrives
         # late never recovers its shares.
+        #
+        # Share recovery is the reference's TWO-ROUND bivariate scheme
+        # (hbavss.py:475-549), which reveals to each party only its own
+        # "column" of the dealt batch: view share b of party i as
+        # F(i+1, b) of a bivariate F, degree t in x, degree B-1 in y.
+        #   R1  party i interpolates its ROW psi_i(y) = F(i+1, y) (and the
+        #       aux/witness polynomials, the witness in the exponent) and
+        #       sends party j ONLY psi_i(j) — verifiable against the
+        #       commitment interpolated at batch-coordinate j.
+        #   R2  after t+1 verified R1 values, party j interpolates its
+        #       COLUMN at batch-coordinate j across senders and returns to
+        #       each m that column's value at m — which is psi_m(j).
+        #   out the victim interpolates its row from 2t+1 R2 values and
+        #       reads its shares at y = 0..B-1. (Needs B <= 2t+1.)
+        # A single-round broadcast of full (share, aux, witness) payloads
+        # would instead make EVERY batch secret publicly interpolatable on
+        # any implicate (see test_hbavss.py recovery-secrecy test).
         output = asyncio.Future()
-        state = {"shares": shares, "ok": ok, "in_recovery": False}
+        state = {"shares": shares, "ok": ok, "r1_sent": False,
+                 "r2_sent": False}
         oks = set()
-        recovery = defaultdict(dict)      # b -> {x: share}
+        interp_c = {}                      # my-column commitment (lazy)
+        r1_vals: dict[int, int] = {}       # sender -> psi_sender(my_id)
+        r2_vals: dict[int, int] = {}       # sender -> psi_my(sender)
+
+        def my_column_commitment():
+            if "c" not in interp_c:
+                c_coords = [(b, commits[b]) for b in range(B)]
+                interp_c["c"] = interpolate_g1_at_x(c_coords, self.my_id)
+            return interp_c["c"]
+
+        def send_r1():
+            """Interpolate my row (share/aux/witness) over the batch
+            coordinates and hand each party its single column value."""
+            state["r1_sent"] = True
+            phi_coords = [(b, self.field(shares[b])) for b in range(B)]
+            aux_coords = [(b, self.field(int(auxes[b]))) for b in range(B)]
+            w_coords = [(b, wits[b]) for b in range(B)]
+            for j in range(self.n):
+                vote_send(j, ("R1",
+                              int(self.poly.interpolate_at(phi_coords, j)),
+                              int(self.poly.interpolate_at(aux_coords, j)),
+                              interpolate_g1_at_x(w_coords, j)))
+
+        def maybe_send_r2():
+            if state["r2_sent"] or len(r1_vals) < self.t + 1:
+                return
+            state["r2_sent"] = True
+            coords = [(s, self.field(v)) for s, v in r1_vals.items()]
+            for j in range(self.n):
+                vote_send(j, ("R2",
+                              int(self.poly.interpolate_at(coords, j))))
 
         async def handler():
             while True:
@@ -320,7 +369,7 @@ class HbAvssBatch:
                     if len(oks) >= 2 * self.t + 1 and \
                             state["shares"] is not None and not output.done():
                         output.set_result(state["shares"])
-                elif msg[0] == "IMPLICATE" and not state["in_recovery"]:
+                elif msg[0] == "IMPLICATE" and not state["r1_sent"]:
                     _, their_key, proof = msg
                     if not _dleq_verify(self.g, self.pks[sender], epk,
                                         their_key, proof):
@@ -335,28 +384,23 @@ class HbAvssBatch:
                             [w for _, _, w in payload])
                     except (ValueError, TypeError):
                         valid = False
-                    if not valid:
-                        state["in_recovery"] = True
-                        if state["ok"]:
-                            my_payload = symmetric.decrypt(shared_key, my_blob)
-                            vote_bcast(("RECOVER",
-                                        [(s, a) for s, a, _ in my_payload],
-                                        [w for _, _, w in my_payload]))
-                elif msg[0] == "RECOVER":
-                    _, sa, ws = msg
-                    good = all(
-                        self.pc.verify_eval(commits[b], sender + 1,
-                                            ZR(sa[b][0]), ZR(sa[b][1]), ws[b])
-                        for b in range(B))
-                    if good:
-                        for b in range(B):
-                            recovery[b][sender + 1] = sa[b][0]
-                    if state["shares"] is None and all(
-                            len(recovery[b]) >= self.t + 1 for b in range(B)):
+                    if not valid and state["ok"]:
+                        send_r1()
+                elif msg[0] == "R1":
+                    _, phi_j, aux_j, w_j = msg
+                    if self.pc.verify_eval(my_column_commitment(),
+                                           sender + 1, ZR(phi_j),
+                                           ZR(aux_j), w_j):
+                        r1_vals[sender] = phi_j
+                        maybe_send_r2()
+                elif msg[0] == "R2":
+                    r2_vals[sender] = msg[1]
+                    if state["shares"] is None and \
+                            len(r2_vals) >= 2 * self.t + 1:
+                        coords = [(s, self.field(v))
+                                  for s, v in r2_vals.items()]
                         state["shares"] = [
-                            int(self.poly.interpolate_at(
-                                list(recovery[b].items())[:self.t + 1],
-                                self.my_id + 1))
+                            int(self.poly.interpolate_at(coords, b))
                             for b in range(B)]
                         vote_bcast(("OK",))
 

@@ -74,11 +74,11 @@ def _open_columns(backend, cols: FpArray, n: int, degree: int,
     import jax
 
     from ..ops.fused_open import KMAX, sim_open_fused, unpack_limbs
-    use_fused = (isinstance(backend, SimBackend)
-                 and jax.default_backend() not in ("cpu",)
-                 and n % 8 == 0 and k <= KMAX
-                 and not os.environ.get("HBMPC_NO_FUSED_OPEN"))
-    if use_fused:
+    from ..ops.fused_open_direct import direct_fits
+    on_tpu = (isinstance(backend, SimBackend)
+              and jax.default_backend() not in ("cpu",)
+              and not os.environ.get("HBMPC_NO_FUSED_OPEN"))
+    if on_tpu:
         import jax.core
 
         from ..ops import montgomery as mont
@@ -88,7 +88,9 @@ def _open_columns(backend, cols: FpArray, n: int, degree: int,
         # the host) — see parallel/reconstruct.py::sim_batch_reconstruct
         traced = isinstance(flat.limbs, jax.core.Tracer)
         robust = traced and in_graph_fallback
-        from ..ops.fused_open_direct import direct_fits
+    use_fused = on_tpu and ((not robust and direct_fits(n, k))
+                            or (n % 8 == 0 and k <= KMAX))
+    if use_fused:
         if not robust and direct_fits(n, k):
             from ..ops.fused_open import pack_limbs
             from ..ops.fused_open_direct import sim_open_direct_packed
@@ -216,7 +218,20 @@ def fused_randousha(backend, n: int, t: int, k: int, key):
     """Drop-in randousha on the fused kernel pipeline
     (ops/fused_randousha.py): ~3x the unfused collective program on TPU.
     Detect-only (any check failure -> ok False; rerun the eager
-    `randousha` for fault localization). SimBackend only."""
+    `randousha` for fault localization).
+
+    HARD-GATED to SimBackend: the pipeline's aggregated verification
+    derives rho from the same run key that fixes the dealings — sound in
+    the sim, where the whole program is one trusted process, but NOT in a
+    distributed deployment where an adversarial dealer could learn rho
+    before dealing and craft cross-degree inconsistencies that cancel in
+    the aggregate (Schwartz-Zippel needs rho unpredictable at dealing
+    time; the bypass is demonstrated in tests/test_fused_randousha.py::
+    test_aggregate_check_boundary_known_rho_bypass). Distributed paths
+    (sharded_offline_jit) use the eager `randousha` with per-column check
+    opens."""
+    assert isinstance(backend, SimBackend), \
+        "fused (rho-aggregated) randousha is sim-only; see docstring"
     from ..ops.fused_open import unpack_limbs
     from ..ops.fused_randousha import sim_randousha_fused
     kd = _key_data(key)
@@ -225,25 +240,29 @@ def fused_randousha(backend, n: int, t: int, k: int, key):
 
 
 def fused_generate_triples(backend, n: int, t: int, k: int, key):
-    """Beaver triples over the fused RanDouSha pipeline; same protocol as
-    `generate_triples` (a*b + r_2t opened at 2t, minus r_t), producing
-    k*(n-2t) triples. Detect-only: decode errors flip ok."""
+    """Beaver triples over the fused pipelines, producing k*(n-2t) triples:
+    a and b come from single-degree RanSha (their 2t halves would be dead
+    weight — the reference's generate_triples only ever uses the degree-t
+    part of the first 2k sharings, offline_randousha.py:176-186), r from
+    RanDouSha, then the a*b + r_2t finish opened at degree 2t (the direct
+    single-kernel open when it fits). Detect-only: decode errors flip ok.
+    Distinct folded subkeys keep the three dealings' Threefry streams
+    disjoint. Sim-only, like fused_randousha (rho-aggregated checks)."""
+    assert isinstance(backend, SimBackend), \
+        "fused (rho-aggregated) triple pipeline is sim-only"
     from ..ops import montgomery as mont
     from ..ops.fused_open import unpack_limbs
-    from ..ops.fused_randousha import sim_randousha_fused
+    from ..ops.fused_randousha import sim_randousha_fused, sim_ransha_fused
     from ..parallel.reconstruct import _sim_reconstruct_packed_jit
 
-    kd = _key_data(key)
-    pt, p2, ok = sim_randousha_fused(kd, n, t, 3 * k)
-    m = pt.shape[-1]
-    cnt = m // 3
-    from ..ops.pallas_field import mul_add_packed
-    pa = pt[..., :cnt]
-    pb = pt[..., cnt:2 * cnt]
-    prt = pt[..., 2 * cnt:3 * cnt]
-    pr2t = p2[..., 2 * cnt:3 * cnt]
+    ka, kb, kr = jax.random.split(key, 3)
+    pa, oka = sim_ransha_fused(_key_data(ka), n, t, k)
+    pb, okb = sim_ransha_fused(_key_data(kb), n, t, k)
+    prt, pr2t, okr = sim_randousha_fused(_key_data(kr), n, t, k)
+    cnt = pa.shape[-1]                              # k * (n - 2t)
 
     # z = a*b + r_2t, computed in the packed domain (one register kernel)
+    from ..ops.pallas_field import mul_add_packed
     z = mul_add_packed(pa.reshape(pa.shape[0], -1),
                        pb.reshape(pa.shape[0], -1),
                        pr2t.reshape(pa.shape[0], -1)).reshape(pa.shape)
@@ -253,11 +272,18 @@ def fused_generate_triples(backend, n: int, t: int, k: int, key):
         [z, jnp.zeros(z.shape[:-1] + (pad,), jnp.uint32)], axis=-1) \
         if pad else z
     run = _sim_reconstruct_packed_jit(n, 2 * t, False, True,
-                                      fallback=False)
+                                      fallback=False, replicate=False)
     opened, nerr = run(zp)
-    ab = mont.sub_mod(unpack_limbs(opened)[..., :cnt],
+    if opened.ndim == 3:
+        # three-kernel fallback (direct kernel out of budget at this k)
+        # returns the n-replicated per-party view
+        opened = opened[:, 0]
+    # every party's opened value is identical; the per-party ab shares
+    # differ only through r_t, so broadcast at the subtract (writing the
+    # n-replicated open was ~92 MB of pure HBM traffic at the bench shape)
+    ab = mont.sub_mod(unpack_limbs(opened[:, None, :cnt]),
                       unpack_limbs(prt))
-    ok = ok & (jnp.sum(nerr) == 0)
+    ok = oka & okb & okr & (jnp.sum(nerr) == 0)
     return (FpArray(unpack_limbs(pa)), FpArray(unpack_limbs(pb)),
             FpArray(ab), ok)
 

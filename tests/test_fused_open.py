@@ -178,3 +178,55 @@ def test_direct_open_robust_fallback():
     got = FpArray(unpack_limbs(sec)).to_ints()
     for j in range(n):
         assert list(got[j]) == secrets
+
+
+@pytest.mark.parametrize("n,t", [(4, 1), (7, 2)])
+def test_direct_open_reference_grid_configs(n, t):
+    """The reference's own batch-opening benchmark grid (n,t) in
+    {(4,1),(7,2)} (benchmark/test_benchmark_batch_opening.py:4-16) decodes
+    on the direct kernel — no party-count alignment constraint."""
+    from honeybadgermpc_tpu.ops.fused_open_direct import (
+        direct_fits, sim_open_direct_packed)
+    assert direct_fits(n, t + 1)
+    rng = random.Random(50 + n)
+    B = 4 * (t + 1)
+    secrets, shares, points = _deal(rng, n, t, B)
+    packed = jax.jit(pack_limbs)(shares.limbs)
+    sec, nerr = jax.jit(
+        lambda p: sim_open_direct_packed(p, n, t, points))(packed)
+    assert np.asarray(nerr).sum() == 0
+    got = FpArray(unpack_limbs(sec)).to_ints()
+    for j in range(n):
+        assert list(got[j]) == secrets
+
+
+def test_direct_open_padded_mg_wide_k():
+    """k = 43 (the n=64 degree-2t opening) exceeds the single-group lane
+    budget and has no multiple-of-8 divisor: the m axis is zero-padded to
+    kp = MG*mg (ops/fused_open_direct._pick_cfg). Secrets and the
+    accept/reject verdict must be unaffected."""
+    from honeybadgermpc_tpu.ops.fused_open_direct import (
+        _pick_cfg, direct_fits, sim_open_direct_packed)
+    n, t = 64, 42
+    k = t + 1
+    assert direct_fits(n, k)
+    MG, mg, kp = _pick_cfg(n, k)
+    assert kp > k and kp == MG * mg, (MG, mg, kp)
+    rng = random.Random(43)
+    B = 2 * k
+    secrets, shares, points = _deal(rng, n, t, B)
+    packed = jax.jit(pack_limbs)(shares.limbs)
+    sec, nerr = jax.jit(
+        lambda p: sim_open_direct_packed(p, n, t, points,
+                                         replicate=False))(packed)
+    assert np.asarray(nerr).sum() == 0
+    got = FpArray(unpack_limbs(sec)).to_ints()
+    assert list(got) == secrets
+
+    # a corrupted share must still flip the verdict through the padding
+    bad = shares.limbs.at[0, n - 1, 3].add(1)
+    _, nerr2 = jax.jit(
+        lambda p: sim_open_direct_packed(p, n, t, points,
+                                         replicate=False))(
+        jax.jit(pack_limbs)(bad))
+    assert np.asarray(nerr2).sum() > 0
