@@ -200,3 +200,30 @@ def test_double_sharing_degree_guard(rng):
         ctx.open_double_share_array(sx)          # degree t, not 2t
     _ = sx * sx                                  # consumes all B doubles
     assert lp.cursors["double_shares"] == B
+
+
+def test_less_than_sharded(rng):
+    """Reistad LessThan as a sharded program (mesh, 8 devices): bitwise
+    share_bits preprocessing sliced per party, ~10 batched Beaver opens,
+    bit-exact vs the sim path."""
+    from honeybadgermpc_tpu.runtime.comparison import less_than
+
+    pairs = [(3, 9), (9, 3)]
+    # less_than draws share_bits twice per element (r and s stages)
+    kinds = {"share_bits": 2 * len(pairs), "triples": 12000}
+
+    def prog(ctx, x, y):
+        return ctx.open_share_array(less_than(ctx, x, y))
+
+    x_g = _deal_inputs([a for a, _ in pairs])
+    y_g = _deal_inputs([b for _, b in pairs])
+    (open_sim,) = _sim_run(prog, _deal(kinds), (x_g, y_g))
+
+    run = make_sharded_mpc_program(party_mesh(N), N, T, prog, mode="mesh",
+                                   robust=False)
+    (open_sh,) = run(_deal(kinds), x_g, y_g)
+
+    assert _ints(open_sh) == [1, 0]
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(open_sh.limbs)),
+        np.asarray(jax.device_get(open_sim.limbs)))
