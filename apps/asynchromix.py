@@ -130,7 +130,11 @@ class ServerGroupSim:
             if self.mix == "butterfly":
                 mixed = iterated_butterfly_network_jit(
                     self.ctx, msg_shares, self.k)
-                out = sorted(int(v) for v in mixed.open().to_ints()[0])
+                opened = mixed.open()
+                # host-convert ONE party's view (all agree; converting all
+                # n was 4x the bigint work)
+                out = sorted(int(v) for v in FpArray(
+                    opened.limbs[:, 0]).to_ints())
             else:
                 b_powers = self.ctx.from_preproc(self.pre.get_powers(self.k))
                 out = power_mix(self.ctx, msg_shares, b_powers)

@@ -134,19 +134,18 @@ def iterated_butterfly_network_jit(ctx: MpcContext, inputs: ShareArray,
     R = rounds * rounds
     h = k // 2
 
-    def _stack(parts):
-        return jnp.stack([p.limbs for p in parts], axis=0)
+    # ONE pool take per kind for the whole epoch, reshaped to the scan
+    # axis (R separate takes were 4R dynamic-slice dispatches — on the
+    # remote-tunneled chip that host loop was 120x the scan's own 40 ms
+    # device time; same one-take precedent as mimc_mpc_batch_jit)
+    def _rounds(fp):
+        lead = fp.limbs.shape[:-1]
+        return jnp.moveaxis(fp.limbs.reshape(lead + (R, h)), -2, 0)
 
-    sbs, aa, bb, abab = [], [], [], []
-    for _ in range(R):
-        sbs.append(ctx.preproc.get_one_minus_ones(h))
-        a, b, ab = ctx.preproc.get_triples(h)
-        aa.append(a)
-        bb.append(b)
-        abab.append(ab)
+    sb_l = _rounds(ctx.preproc.get_one_minus_ones(R * h))
+    a, b, ab = ctx.preproc.get_triples(R * h)
     run = _butterfly_jit(ctx.n, ctx.t, k, ctx.robust, ctx.use_omega_powers)
-    out = run(inputs.v.limbs, _stack(sbs), _stack(aa), _stack(bb),
-              _stack(abab))
+    out = run(inputs.v.limbs, sb_l, _rounds(a), _rounds(b), _rounds(ab))
     return ctx.ShareArray(FpArray(out), inputs.t)
 
 
