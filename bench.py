@@ -94,7 +94,7 @@ def main():
             # the dealer's at-rest share format is PACKED (2x16-bit limbs
             # per word) — packing here is deal-time work, not open-time
             segs.append(jax.jit(pack_limbs)(pre.get_rands(SEG).limbs))
-        return jnp.stack(segs, 0)             # [NSEG, PL, n, SEG]
+        return segs                           # NSEG x [PL, n, SEG]
 
     # fallback=False: validation errors are still counted in-kernel (and
     # asserted zero below), but the robust Gao redo stays OUT of the
@@ -116,26 +116,29 @@ def main():
                                       replicate=False)
 
     @jax.jit
-    def run_all(st):
-        # sequential map over segments: one dispatch for the whole batch,
-        # peak memory of a single segment
-        return jax.lax.map(run, st)
+    def run_all(*segs):
+        # UNROLLED over segments: each pallas call reads its own argument
+        # buffer directly — one dispatch for the whole batch, peak live
+        # memory of a segment's working set, and none of lax.map's
+        # per-segment input slice-copies (xprof r04: the copies were ~18%
+        # of device time; unrolled measured 67.4M vs 59.4M shares/s)
+        outs = [run(s) for s in segs]
+        return [o[0] for o in outs], sum(jnp.sum(o[1]) for o in outs)
 
     # C=768 chunk tiles are the measured-fastest kernel shape; NSEG scales
     # how many back-to-back segment opens one dispatch carries — the
     # remote tunnel costs ~1.5 ms per dispatch, so larger NSEG amortizes
-    # it (measured 29.7M at NSEG=4 -> 56.0M at NSEG=64; asymptote ~67M).
-    # The fallbacks dodge a sporadic borderline scoped-VMEM compile
+    # it. The fallbacks dodge a sporadic borderline scoped-VMEM compile
     # failure seen once on this platform (16.84M vs the 16M limit) and
     # keep the bench runnable on smaller-memory chips.
-    stacked = None
+    segs = None
     for C, NSEG in [(768, 64), (768, 16), (768, 4), (1536, 2), (3072, 1)]:
         try:
             cand = build(C, NSEG)
-            out, nerr = run_all(cand)        # compile + correctness gate
-            assert int(jax.device_get(nerr).sum()) == 0
-            stacked = cand
-            B = cand.shape[0] * k * C
+            out, nerr = run_all(*cand)       # compile + correctness gate
+            assert int(jax.device_get(nerr)) == 0
+            segs = cand
+            B = NSEG * k * C
             break
         except AssertionError:
             raise
@@ -143,17 +146,17 @@ def main():
             import sys
             print(f"# config C={C} NSEG={NSEG} failed: {type(e).__name__}",
                   file=sys.stderr, flush=True)
-    assert stacked is not None, "no benchmark config compiled"
+    assert segs is not None, "no benchmark config compiled"
 
     # timed runs (force real completion via device_get); enough back-to-back
     # dispatches that the remote-tunnel enqueue latency amortizes and the
     # steady-state device rate shows (first dispatches pipeline against it)
     iters = 20
-    jax.device_get(out.ravel()[:1])
+    jax.device_get(out[0].ravel()[:1])
     t0 = time.perf_counter()
     for _ in range(iters):
-        out, _ = run_all(stacked)
-    jax.device_get(out.ravel()[:1])
+        out, _ = run_all(*segs)
+    jax.device_get(out[0].ravel()[:1])
     dt = (time.perf_counter() - t0) / iters
 
     rate = B / dt
