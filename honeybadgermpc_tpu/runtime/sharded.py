@@ -26,10 +26,7 @@ fed identical dealer preprocessing (tests/test_sharded_context.py).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as PS
 
