@@ -12,9 +12,26 @@ from collections import defaultdict
 
 from ..utils.misc import print_exception_callback
 
+_SUBSETS = ((0,), (1,), (0, 1))
+
 
 class AbandonedNodeError(Exception):
     pass
+
+
+class _Round:
+    """Tallies for one MMR14 round: which parties voted what, per stage."""
+
+    __slots__ = ("voters", "subset_voters", "echoed", "confed", "accepted")
+
+    def __init__(self):
+        # stage -> bit -> set of party ids ("est"/"aux" stages)
+        self.voters = {"est": ([set(), set()]), "aux": ([set(), set()])}
+        # CONF carries a subset of {0,1} rather than a single bit
+        self.subset_voters = {s: set() for s in _SUBSETS}
+        self.echoed = [False, False]          # did I relay EST for bit b
+        self.confed = {s: False for s in _SUBSETS}  # did I send CONF for s
+        self.accepted = set()                 # bits with a 2f+1 EST quorum
 
 
 async def binaryagreement(sid, pid, n, f, coin, input_getter, decide,
@@ -22,120 +39,118 @@ async def binaryagreement(sid, pid, n, f, coin, input_getter, decide,
     """coin: async get_coin(round) -> bit. input_getter: awaitable initial
     value. decide: callback taking the decided bit. Runs forever after
     deciding (one more round) then raises AbandonedNodeError."""
-    est_values = defaultdict(lambda: [set(), set()])
-    aux_values = defaultdict(lambda: [set(), set()])
-    conf_values = defaultdict(lambda: {(0,): set(), (1,): set(), (0, 1): set()})
-    est_sent = defaultdict(lambda: [False, False])
-    conf_sent = defaultdict(lambda: {(0,): False, (1,): False, (0, 1): False})
-    bin_values = defaultdict(set)
+    rounds = defaultdict(_Round)
+    progress = asyncio.Event()
 
-    bv_signal = asyncio.Event()
-
-    async def _recv_loop():
+    async def _ingest():
         while True:
             sender, msg = await receive()
-            tag, r, v = msg[0], msg[1], msg[2]
+            tag, r, payload = msg[0], msg[1], msg[2]
             assert sender in range(n)
+            st = rounds[r]
             if tag == "EST":
-                assert v in (0, 1)
-                if sender in est_values[r][v]:
+                assert payload in (0, 1)
+                tally = st.voters["est"][payload]
+                if sender in tally:
                     continue
-                est_values[r][v].add(sender)
-                if len(est_values[r][v]) >= f + 1 and not est_sent[r][v]:
-                    est_sent[r][v] = True
-                    broadcast(("EST", r, v))
-                if len(est_values[r][v]) >= 2 * f + 1:
-                    bin_values[r].add(v)
-                    bv_signal.set()
+                tally.add(sender)
+                if len(tally) >= f + 1 and not st.echoed[payload]:
+                    st.echoed[payload] = True
+                    broadcast(("EST", r, payload))
+                if len(tally) >= 2 * f + 1:
+                    st.accepted.add(payload)
+                    progress.set()
             elif tag == "AUX":
-                assert v in (0, 1)
-                if sender in aux_values[r][v]:
+                assert payload in (0, 1)
+                tally = st.voters["aux"][payload]
+                if sender in tally:
                     continue
-                aux_values[r][v].add(sender)
-                bv_signal.set()
+                tally.add(sender)
+                progress.set()
             elif tag == "CONF":
-                assert v in ((0,), (1,), (0, 1))
-                if sender in conf_values[r][v]:
+                assert payload in _SUBSETS
+                tally = st.subset_voters[payload]
+                if sender in tally:
                     continue
-                conf_values[r][v].add(sender)
-                bv_signal.set()
+                tally.add(sender)
+                progress.set()
 
-    recv_task = asyncio.ensure_future(_recv_loop())
-    recv_task.add_done_callback(print_exception_callback)
+    ingest_task = asyncio.ensure_future(_ingest())
+    ingest_task.add_done_callback(print_exception_callback)
 
-    async def wait_for(predicate):
+    async def until(condition):
         while True:
-            result = predicate()
+            result = condition()
             if result is not None:
                 return result
-            bv_signal.clear()
-            await bv_signal.wait()
+            progress.clear()
+            await progress.wait()
 
     try:
-        vi = input_getter
-        if callable(vi):
-            vi = vi()
-        if asyncio.iscoroutine(vi) or isinstance(vi, asyncio.Future):
-            vi = await vi
-        assert vi in (0, 1)
-        est = vi
+        proposal = input_getter
+        if callable(proposal):
+            proposal = proposal()
+        if asyncio.iscoroutine(proposal) or isinstance(proposal, asyncio.Future):
+            proposal = await proposal
+        assert proposal in (0, 1)
+        estimate = proposal
         r = 0
-        already_decided = None
+        decided_bit = None
         while True:
-            if not est_sent[r][est]:
-                est_sent[r][est] = True
-                broadcast(("EST", r, est))
+            st = rounds[r]
+            if not st.echoed[estimate]:
+                st.echoed[estimate] = True
+                broadcast(("EST", r, estimate))
 
-            await wait_for(lambda: True if bin_values[r] else None)
-            w = next(iter(bin_values[r]))
-            broadcast(("AUX", r, w))
+            await until(lambda: True if st.accepted else None)
+            broadcast(("AUX", r, next(iter(st.accepted))))
 
-            def aux_ok():
-                bv = bin_values[r]
-                cnt = sum(len(aux_values[r][v]) for v in bv)
-                if 1 in bv and len(aux_values[r][1]) >= n - f:
+            def _aux_quorum():
+                # n-f AUX votes, restricted to bits I have accepted.
+                aux = st.voters["aux"]
+                if 1 in st.accepted and len(aux[1]) >= n - f:
                     return {1}
-                if 0 in bv and len(aux_values[r][0]) >= n - f:
+                if 0 in st.accepted and len(aux[0]) >= n - f:
                     return {0}
-                if cnt >= n - f and len(bv) == 2:
+                total = sum(len(aux[b]) for b in st.accepted)
+                if total >= n - f and len(st.accepted) == 2:
                     return {0, 1}
                 return None
 
-            values = await wait_for(aux_ok)
-            key = tuple(sorted(values))
-            if not conf_sent[r][key]:
-                conf_sent[r][key] = True
-                broadcast(("CONF", r, key))
+            quorum = await until(_aux_quorum)
+            subset = tuple(sorted(quorum))
+            if not st.confed[subset]:
+                st.confed[subset] = True
+                broadcast(("CONF", r, subset))
 
-            def conf_ok():
-                bv = bin_values[r]
-                cnt = 0
-                have = set()
-                for k_, senders in conf_values[r].items():
-                    if set(k_).issubset(bv) and senders:
-                        cnt += len(senders)
-                        have.update(k_)
-                if 1 in bv and len(conf_values[r][(1,)]) >= n - f:
+            def _conf_quorum():
+                if 1 in st.accepted and len(st.subset_voters[(1,)]) >= n - f:
                     return {1}
-                if 0 in bv and len(conf_values[r][(0,)]) >= n - f:
+                if 0 in st.accepted and len(st.subset_voters[(0,)]) >= n - f:
                     return {0}
-                if cnt >= n - f:
-                    return have
+                total = 0
+                union = set()
+                for subset_, senders in st.subset_voters.items():
+                    if set(subset_).issubset(st.accepted) and senders:
+                        total += len(senders)
+                        union.update(subset_)
+                if total >= n - f:
+                    return union
                 return None
 
-            values = await wait_for(conf_ok)
-            s = await coin(r)
-            if len(values) == 1:
-                v = next(iter(values))
-                if v == s % 2:
-                    if already_decided is None:
-                        already_decided = v
-                        decide(v)
-                    elif already_decided == v:
+            quorum = await until(_conf_quorum)
+            flip = await coin(r)
+            if len(quorum) == 1:
+                bit = next(iter(quorum))
+                if bit == flip % 2:
+                    if decided_bit is None:
+                        decided_bit = bit
+                        decide(bit)
+                    elif decided_bit == bit:
                         raise AbandonedNodeError
-                est = v
+                estimate = bit
             else:
-                est = s % 2
+                estimate = flip % 2
             r += 1
     finally:
-        recv_task.cancel()
+        ingest_task.cancel()

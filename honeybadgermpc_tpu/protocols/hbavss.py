@@ -237,6 +237,16 @@ class HbAvssBatch:
         if self.my_id == dealer_id:
             assert values is not None
             B = len(values)
+            # Two-round share recovery interpolates each party's column
+            # polynomial (degree B-1) from 2t+1 R2 points, so a dealing is
+            # only recoverable when B <= 2t+1 (reference hbavss.py:529-546
+            # operates under the same implicit constraint). Reject larger
+            # batches here rather than deal something recovery would
+            # silently mis-interpolate; callers chunk into sub-dealings.
+            if B > 2 * self.t + 1:
+                raise ValueError(
+                    f"HbAvssBatch: batch size {B} > 2t+1 = {2 * self.t + 1}"
+                    " is unrecoverable; split into multiple avss() calls")
             phis, hats, commits = [], [], []
             for v in values:
                 phi = self.poly.random(self.t, v)
@@ -263,6 +273,12 @@ class HbAvssBatch:
             rbc_tag, self.my_id, self.n, self.t, dealer_id,
             rbc_blob, rbc_recv, rbc_send)
         commits, epk, B = pickle.loads(blob)
+        # A Byzantine dealer could RBC an oversized or inconsistent batch;
+        # every honest party applies the same recoverability bound.
+        if B != len(commits) or B > 2 * self.t + 1:
+            raise ValueError(
+                f"HbAvssBatch: dealer {dealer_id} broadcast invalid batch"
+                f" size {B} (commits={len(commits)}, 2t+1={2 * self.t + 1})")
 
         avid_tag = f"{dealer_id}-{avss_id}-B-AVID"
         avid_send, avid_recv = self._mk(avid_tag)

@@ -305,3 +305,48 @@ def test_hbavss_batch_recovery_secrecy(monkeypatch):
                 continue
             exposed = sum(1 for i in range(n) if int(outs[i][b]) in vals)
             assert exposed <= t, (o, b, exposed)
+
+
+def test_hbavss_batch_oversize_rejected():
+    """VERDICT r04 #4: B > 2t+1 is unrecoverable by the two-round R1/R2
+    scheme (column polynomials have degree B-1 but only 2t+1 R2 points),
+    so the dealer must refuse to deal it (reference hbavss.py:529-546
+    operates under the same implicit bound)."""
+    n, t = 4, 1
+    g, h, pks, sks = get_avss_params(n, t)
+    crs = gen_pc_const_crs(t, g=g, h=h, seed=21)
+    oversize = list(range(1, 2 * t + 3))  # B = 2t+2
+    assert len(oversize) == 2 * t + 2
+
+    async def run():
+        router = TestRouter(n, seed=5)
+        inst = HbAvssBatch(pks, sks[0], crs, n, t, 0,
+                           router.sends[0], router.recvs[0])
+        try:
+            with pytest.raises(ValueError, match="2t\\+1"):
+                await asyncio.wait_for(
+                    inst.avss(0, oversize, dealer_id=0), 30)
+        finally:
+            inst.kill()
+
+    asyncio.run(run())
+
+    # The boundary itself (B == 2t+1) still deals and reconstructs.
+    secrets = list(range(7, 7 + 2 * t + 1))
+
+    async def run_ok():
+        router = TestRouter(n, seed=6)
+        instances = [HbAvssBatch(pks, sks[i], crs, n, t, i,
+                                 router.sends[i], router.recvs[i])
+                     for i in range(n)]
+        outs = await asyncio.wait_for(asyncio.gather(*[
+            instances[i].avss(1, secrets if i == 0 else None, dealer_id=0)
+            for i in range(n)]), 180)
+        for inst in instances:
+            inst.kill()
+        return outs
+
+    outs = asyncio.run(run_ok())
+    for b, secret in enumerate(secrets):
+        rec = open_from_shares({i + 1: outs[i][b] for i in range(n)}, t)
+        assert rec == secret
