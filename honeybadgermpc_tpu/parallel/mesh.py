@@ -165,6 +165,60 @@ class HybridBackend:
         return FpArray(g.limbs[..., src])
 
 
+class ByzantineBackend:
+    """Byzantine fault injection at the network boundary: wraps any of the
+    three backends and makes the listed parties corrupt EVERY value they
+    contribute to a collective — the TPU-native form of the reference's
+    send-time fault config (config.py:38-45 induce_faults consumed inside
+    batch_reconstruction.py:129-131 / mpc.py:126-131). Honest parties'
+    traffic is untouched; a corrupted party's wrong columns flow through
+    the full open (R1 all_to_all + R2 all_gather) so the robust decoder's
+    exclusion logic is exercised end to end, per open, inside a program.
+
+    The perturbation is a distinct nonzero constant per collective call
+    (trace-time counter — identical on every party, so the sharded program
+    stays SPMD)."""
+
+    def __init__(self, inner, fault_parties):
+        self.inner = inner
+        self.n = inner.n
+        self.fault_parties = tuple(fault_parties)
+        self._calls = 0
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+    def my_ids(self):
+        return self.inner.my_ids()
+
+    def _corrupt(self, x: FpArray) -> FpArray:
+        if not self.fault_parties:
+            return x
+        ids = self.inner.my_ids()
+        bad = jnp.zeros_like(ids, dtype=bool)
+        for p in self.fault_parties:
+            bad = bad | (ids == p)
+        self._calls += 1
+        delta = FpArray.from_int(0xB4D5EED + self._calls).broadcast_to(
+            x.shape)
+        wrong = x + delta
+        if getattr(bad, "ndim", 0) == 0:            # MeshBackend: scalar id
+            mask = jnp.broadcast_to(bad, x.shape)
+        else:                                       # Sim/Hybrid: local axis
+            mask = jnp.broadcast_to(
+                bad.reshape(bad.shape + (1,) * (x.ndim - 1)), x.shape)
+        return FpArray.select(mask, wrong, x)
+
+    def all_to_all(self, x: FpArray) -> FpArray:
+        return self.inner.all_to_all(self._corrupt(x))
+
+    def all_gather(self, x: FpArray) -> FpArray:
+        return self.inner.all_gather(self._corrupt(x))
+
+    def broadcast_from(self, x: FpArray, src: int) -> FpArray:
+        return self.inner.broadcast_from(self._corrupt(x), src)
+
+
 def shard_over_parties(mesh: Mesh, fparr: FpArray) -> FpArray:
     """Device-put a global [n, ...] FpArray sharded on the party axis."""
     spec = P(None, "parties", *([None] * (fparr.ndim - 1)))

@@ -195,8 +195,51 @@ def less_than(ctx: MpcContext, a: ShareArray, b: ShareArray) -> ShareArray:
 
 
 def _exclusive_suffix_product(ctx, pb: ShareArray) -> ShareArray:
-    """powers[i] = prod_{j > i} pb[j] along the last axis, via Hillis-Steele
-    doubling: log2(K) batched multiplies instead of K sequential ones."""
+    """powers[i] = prod_{j > i} pb[j] along the last axis.
+
+    Work-efficient Brent-Kung (Blelloch) scan: ~2K Beaver multiplies in
+    2*log2(K) rounds — vs the reference's K SEQUENTIAL multiplies
+    (share_comparison.py:155-157) and Hillis-Steele's K*log2(K) total work.
+    The bit axis is reversed so the suffix becomes an exclusive prefix,
+    padded with identity sharings to the next power of two."""
+    K = pb.v.shape[-1]
+    Kp = 1 << max(1, (K - 1).bit_length())
+    t = pb.t
+    v = pb.v.limbs[..., ::-1]
+    if Kp > K:
+        pad = FpArray.from_int(1).broadcast_to(pb.v.shape[:-1] + (Kp - K,))
+        v = jnp.concatenate([v, pad.limbs], axis=-1)
+
+    def bmul(lv, rv):
+        prod = beaver_multiply_arrays(
+            ctx, ctx.ShareArray(FpArray(lv), t), ctx.ShareArray(FpArray(rv), t))
+        return prod.v.limbs
+
+    # upsweep: fold pair products up the tree (one batched multiply/level)
+    d = 1
+    while d < Kp:
+        left = v[..., d - 1::2 * d]
+        right = v[..., 2 * d - 1::2 * d]
+        v = v.at[..., 2 * d - 1::2 * d].set(bmul(right, left))
+        d *= 2
+    # clear the root to the identity, then downsweep
+    one = FpArray.from_int(1).broadcast_to(pb.v.shape[:-1])
+    v = v.at[..., Kp - 1].set(one.limbs)
+    d = Kp // 2
+    while d >= 1:
+        left = v[..., d - 1::2 * d]
+        right = v[..., 2 * d - 1::2 * d]
+        v = v.at[..., d - 1::2 * d].set(right)
+        v = v.at[..., 2 * d - 1::2 * d].set(bmul(right, left))
+        d //= 2
+    out = v[..., :K][..., ::-1]
+    return ctx.ShareArray(FpArray(out), t)
+
+
+def _exclusive_suffix_product_hs(ctx, pb: ShareArray) -> ShareArray:
+    """Hillis-Steele variant (log2(K) rounds, K*log2(K) multiplies) — kept
+    as the parity oracle for the Brent-Kung scan and for latency-bound
+    callers that prefer fewer rounds over triple consumption."""
     K = pb.v.shape[-1]
     # inclusive-from-the-right, shifted: start with pb shifted left by one
     cur = _shift_left_fill_one(ctx, pb, 1)

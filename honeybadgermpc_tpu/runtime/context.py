@@ -396,13 +396,15 @@ class MpcContext:
                  robust: bool = True):
         self.n, self.t = n, t
         self.backend = backend or SimBackend(n)
-        self.sim = isinstance(self.backend, SimBackend)
+        # layout classification looks through fault-injection wrappers
+        # (ByzantineBackend delegates to .inner)
+        base = getattr(self.backend, "inner", self.backend)
+        self.sim = isinstance(base, SimBackend)
         # number of leading LOCAL party axes on share tensors: SimBackend
         # carries all n parties ([n, ...]), HybridBackend its per-device
         # slice ([pp, ...]); MeshBackend (one party per device inside
         # shard_map) carries none
-        self.lead = 1 if isinstance(self.backend,
-                                    (SimBackend, HybridBackend)) else 0
+        self.lead = 1 if isinstance(base, (SimBackend, HybridBackend)) else 0
         self.preproc = preproc
         self.use_omega_powers = use_omega_powers
         self.robust = robust
@@ -410,15 +412,21 @@ class MpcContext:
         if mixins:
             self.config.update(mixins)
         self.opened_count = 0
+        # per-local-party corrected-error tally, summed over every open in
+        # the program (reference batch_reconstruction.py surfaces the same
+        # count per reconstruction; here it is a traced value a program can
+        # return — see make_sharded_mpc_program(return_nerr=True))
+        self.nerr_total = jnp.int32(0)
 
     @property
     def local_parties(self) -> int:
         """Size of the leading local party axis (sim: n; hybrid: n/D;
         mesh: 0 — no local axis)."""
-        if isinstance(self.backend, SimBackend):
+        base = getattr(self.backend, "inner", self.backend)
+        if isinstance(base, SimBackend):
             return self.n
-        if isinstance(self.backend, HybridBackend):
-            return self.backend.pp
+        if isinstance(base, HybridBackend):
+            return base.pp
         return 0
 
     def lift_public(self, pub: FpArray) -> FpArray:
@@ -486,6 +494,7 @@ class MpcContext:
                 self.backend, v, self.n, d,
                 use_omega_powers=self.use_omega_powers, robust=self.robust)
         self.opened_count += B
+        self.nerr_total = self.nerr_total + nerr
         if pad:
             secrets = FpArray(secrets.limbs[..., :B])
         return secrets

@@ -27,11 +27,12 @@ fed identical dealer preprocessing (tests/test_sharded_context.py).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as PS
 
 from ..ops.fparray import FpArray
-from ..parallel.mesh import HybridBackend, MeshBackend
+from ..parallel.mesh import ByzantineBackend, HybridBackend, MeshBackend
 from .context import MpcContext, ShareArray
 from .preprocessing import PreProcessedElements
 
@@ -126,7 +127,8 @@ def snapshot_preproc(pre: PreProcessedElements,
 
 def make_sharded_mpc_program(mesh, n: int, t: int, prog,
                              mode: str = "mesh", robust: bool = True,
-                             mixins=None, use_omega_powers: bool = False):
+                             mixins=None, use_omega_powers: bool = False,
+                             fault_parties=(), return_nerr: bool = False):
     """Compile ``prog(ctx, *inputs) -> ShareArray | FpArray | tuple`` into
     one jitted sharded program.
 
@@ -135,6 +137,15 @@ def make_sharded_mpc_program(mesh, n: int, t: int, prog,
     they are sharded over the mesh's 'parties' axis, the program executes
     per-party with ICI collectives, and outputs come back as global
     [n, ...] FpArrays (each party's local view re-concatenated).
+
+    ``fault_parties``: party ids that behave Byzantine — they corrupt every
+    value they contribute to a collective INSIDE the program's opens
+    (ByzantineBackend; reference config.py:38-45 induce_faults through full
+    program runs, mpc.py:126-131). With ``robust=True`` and at most t
+    faults the outputs must equal the fault-free run's bit-exactly.
+
+    ``return_nerr``: append one extra [1, n] int32 output — each party's
+    total corrected-error count across every open in the program.
     """
     ndev = int(np.prod(mesh.devices.shape))
     if mode == "mesh":
@@ -148,6 +159,8 @@ def make_sharded_mpc_program(mesh, n: int, t: int, prog,
 
     def local_fn(pre_limbs: dict, in_limbs: tuple):
         backend = MeshBackend(n) if mode == "mesh" else HybridBackend(n, ndev)
+        if fault_parties:
+            backend = ByzantineBackend(backend, fault_parties)
         lead = 0 if mode == "mesh" else 1
 
         def adapt(limbs):                     # local [L, pp, ...] from spec
@@ -165,7 +178,14 @@ def make_sharded_mpc_program(mesh, n: int, t: int, prog,
             assert isinstance(v, FpArray), type(v)
             return v.limbs[:, None] if mode == "mesh" else v.limbs
 
-        return tuple(restore(o) for o in outs)
+        restored = tuple(restore(o) for o in outs)
+        if return_nerr:
+            # local [1, pp] (mesh: [1, 1]) -> global [1, n] under the
+            # PS(None, 'parties') prefix spec
+            nerr = jnp.asarray(ctx.nerr_total, jnp.int32)
+            nerr = jnp.broadcast_to(nerr.reshape(-1), (pp,))[None]
+            restored = restored + (nerr,)
+        return restored
 
     # P(None, 'parties') as a tree PREFIX: every leaf is [L, party, ...],
     # sharded on axis 1, trailing dims replicated
@@ -176,6 +196,8 @@ def make_sharded_mpc_program(mesh, n: int, t: int, prog,
     def run(preproc: dict, *inputs: FpArray):
         pre_limbs = {k: v.limbs for k, v in preproc.items()}
         outs = f(pre_limbs, tuple(x.limbs for x in inputs))
+        if return_nerr:
+            return tuple(FpArray(o) for o in outs[:-1]) + (outs[-1][0],)
         return tuple(FpArray(o) for o in outs)
 
     return run

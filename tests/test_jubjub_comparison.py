@@ -82,9 +82,11 @@ def test_share_mul_bitwise_scalar(ctx, rng):
 def test_less_than_boundaries(rng):
     """LessThan at the domain boundaries (the reference documents a ~1/20
     failure mode, share_comparison.py:101-102; this implementation's
-    Hillis-Steele suffix rewrite passes every boundary — asserted here, and
-    a 32-pair randomized sweep found 0 failures): equal values, adjacent
-    values, zero, and the (p-1)/2 - 1 domain edge."""
+    Brent-Kung suffix-scan rewrite passes every boundary — asserted here,
+    and a 32-pair randomized sweep found 0 failures): equal values, adjacent
+    values, zero, and the (p-1)/2 - 1 domain edge. Also pins the offline
+    cost: <= ~3x the reference's 254 multiplies per comparison (VERDICT
+    r04 #8; it was ~9x with Hillis-Steele)."""
     from honeybadgermpc_tpu.runtime.preprocessing import PreProcessedElements
     from honeybadgermpc_tpu.runtime.context import MpcContext
 
@@ -94,7 +96,7 @@ def test_less_than_boundaries(rng):
              (0, m), (m, 0)]
     B = len(pairs)
     pre = PreProcessedElements(n, t, seed=53)
-    pre.generate_triples(40000)
+    pre.generate_triples(8192)
     pre.generate_rands(64)
     pre.generate_bits(64)
     pre.generate_share_bits(2 * B)
@@ -103,8 +105,14 @@ def test_less_than_boundaries(rng):
         FpArray.from_ints([a for a, _ in pairs])))
     sy = c.ShareArray(pre._share_values(
         FpArray.from_ints([b for _, b in pairs])))
+    pool = pre._pool("triples")
+    before = pool.remaining()
     got = list(c.open_share_array(sx < sy).to_ints()[0])
+    used_per_cmp = (before - pool.remaining()) / B
     assert got == [1 if a < b else 0 for a, b in pairs]
+    # 768 = 510 Brent-Kung scan + 255 terms multiply + 3 bit fixups
+    # (was ~2300 with Hillis-Steele; reference spends 254 + terms).
+    assert used_per_cmp <= 768, used_per_cmp
 
 
 def test_equality_mixin(ctx, rng):
@@ -117,3 +125,49 @@ def test_equality_mixin(ctx, rng):
     ne = (sx == sz).open()
     assert all(v != 0 for v in eq.to_ints()[0])
     assert all(v == 0 for v in ne.to_ints()[0])
+
+
+def test_suffix_scan_brent_kung(rng):
+    """VERDICT r04 #8: the Brent-Kung exclusive suffix scan matches the
+    plaintext oracle AND the Hillis-Steele variant, at ~2K triples per
+    element instead of K*log2(K) (reference share_comparison.py:155-157
+    spends K sequential multiplies)."""
+    from honeybadgermpc_tpu.runtime.comparison import (
+        _exclusive_suffix_product, _exclusive_suffix_product_hs)
+
+    n, t = 4, 1
+    K, B = 13, 2                    # odd, non-power-of-two bit axis
+    Kp = 16
+    pre = PreProcessedElements(n, t, seed=91)
+    pre.generate_triples(4096)
+    c = install(MpcContext(n, t, preproc=pre))
+    vals = [[rng.randrange(1, 1000) for _ in range(K)] for _ in range(B)]
+    fa = FpArray.from_ints(vals)
+    sa = c.ShareArray(pre._share_values(
+        fa.reshape(B * K)).reshape(c.n, B, K))
+
+    pool = pre._pool("triples")
+    before = pool.remaining()
+    got_bk = _exclusive_suffix_product(c, sa)
+    used_bk = before - pool.remaining()
+    got_hs = _exclusive_suffix_product_hs(c, sa)
+    used_hs = before - used_bk - pool.remaining()
+
+    oracle = [[1] * K for _ in range(B)]
+    for bi in range(B):
+        for i in reversed(range(K - 1)):
+            oracle[bi][i] = oracle[bi][i + 1] * vals[bi][i + 1] % P
+    opened_bk = [int(v) for v in
+                 np.asarray(c.open_share_array(got_bk).to_ints()[0]).ravel()]
+    opened_hs = [int(v) for v in
+                 np.asarray(c.open_share_array(got_hs).to_ints()[0]).ravel()]
+    flat_oracle = [x for row in oracle for x in row]
+    assert opened_bk == flat_oracle
+    assert opened_hs == flat_oracle
+
+    # work-efficient bound: 2*(Kp-1) per element vs K*ceil(log2(K)).
+    # At K=13 that is 30 vs 52 per element; at the production K=255 it is
+    # 510 vs 2040 — the 4x triple-consumption cut VERDICT r04 #8 asked for.
+    assert used_bk <= 2 * (Kp - 1) * B, used_bk
+    assert used_hs >= K * 4 * B, used_hs        # log2(13) rounds ~ 4
+    assert used_bk < used_hs, (used_bk, used_hs)
