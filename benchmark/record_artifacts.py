@@ -1,16 +1,22 @@
-"""Record the round's benchmark-grid artifacts (VERDICT r03 #3/#6):
+"""Record the round's benchmark-grid artifacts (VERDICT r04 #3/#4):
 
-  GRIDS_r04.json    — the reference's batch-opening grid ((4,1)/(7,2) plus
-                      the (64,21) north star) with the decode path each
-                      config takes, and the Gao robust-decode grid
-                      t in {1,3,5,10,33,50,100}; run on the REAL chip.
-  SCALING_r04.json  — the 1/2/4/8-device scaling curve of the headline
-                      open with per-collective byte counts. Real multi-chip
-                      is unavailable in this environment (the tunnel is one
-                      chip), so the curve is recorded on the 8-virtual-
-                      device CPU mesh — the program is identical to the
-                      multi-chip one (HybridBackend under shard_map); the
-                      byte counts are the ICI-relevant quantity.
+  GRIDS_r05.json    — EVERY reference benchmark family on the real chip:
+                      batch_opening (incl. the aggregated many-small-opens
+                      mode), gao_decode (full t grid incl. 25 and 256),
+                      asynchromix (butterfly n=4 + n=64 with offline
+                      refill + power-mix), poly/FFT interpolate, MiMC,
+                      jubjub, refinement, preprocessing, RBC, HBAVSS
+                      light+batch, triple_generation. A family that fails
+                      is recorded as an error row — no silent caps.
+  SCALING_r05.json  — the 1/2/4/8-device scaling curve of the headline
+                      open with per-collective byte counts, a compute-only
+                      (zero-collective) control curve at the same device
+                      counts, and an ANALYTIC projection of 2-chip
+                      efficiency from the recorded collective bytes at
+                      v5e ICI bandwidth. Real multi-chip is unavailable
+                      here (the tunnel is one chip), so timing runs on the
+                      8-virtual-device CPU mesh; the projection uses the
+                      real chip's measured 1-device rate.
 
 Usage: python benchmark/record_artifacts.py [grids|scaling]
 """
@@ -43,16 +49,33 @@ def _run_benches(names, env=None):
     return rows
 
 
-def record_grids(path="GRIDS_r04.json"):
-    rows = _run_benches(["batch_opening", "gao_decode", "asynchromix"])
-    rec = {"artifact": "reference benchmark grids (SURVEY §6)",
+ALL_FAMILIES = [
+    "batch_opening", "gao_decode", "asynchromix", "poly_interpolate",
+    "fft_interpolate", "mimc", "jubjub", "refinement", "preprocessing",
+    "rbc", "hbavss", "hbavss_batch", "triple_generation",
+]
+
+
+def record_grids(path="GRIDS_r05.json", families=None):
+    rows = []
+    for fam in families or ALL_FAMILIES:
+        # one subprocess per family: an OOM/compile failure in one family
+        # is recorded as an error row instead of killing the rest
+        try:
+            rows.extend(_run_benches([fam]))
+        except Exception as e:
+            rows.append({"bench": fam, "params": {},
+                         "error": f"{type(e).__name__}: {e}"[:300],
+                         "value": 0.0, "unit": "failed"})
+            print(f"family {fam} FAILED: {type(e).__name__}")
+    rec = {"artifact": "reference benchmark grids (SURVEY §6), all families",
            "backend": "tpu-tunnel", "rows": rows}
     with open(os.path.join(REPO, path), "w") as f:
         json.dump(rec, f, indent=1)
     print(f"wrote {path}: {len(rows)} rows")
 
 
-def record_scaling(path="SCALING_r04.json"):
+def record_scaling(path="SCALING_r05.json"):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
@@ -72,20 +95,66 @@ def record_scaling(path="SCALING_r04.json"):
         if b:
             r["efficiency_vs_1dev"] = round(r["value"] / (b * d), 3) \
                 if d > 1 else 1.0
-    rec = {"artifact": "virtual-mesh scaling proxy (BASELINE >=80% @2 hosts"
-                       " target; real multi-chip unavailable, see docstring)",
-           "backend": "cpu-8-virtual-devices",
-           "note": "Timing on a forced-CPU virtual mesh measures host "
-                   "thread scheduling, NOT ICI: run-to-run efficiency at "
-                   "2 devices has been observed between 0.71 and 0.84. "
-                   "The load-bearing content is (a) the identical "
-                   "HybridBackend shard_map program runs at every device "
-                   "count and (b) the per-collective cross-device byte "
-                   "counts, which ARE the ICI-relevant quantity.",
-           "rows": rows}
+
+    # real-chip 1-device rate for the analytic projection (the tunnel
+    # exposes exactly one chip, so only the devices=1 rows run)
+    tpu_rows = []
+    try:
+        tpu_rows = [r for r in _run_benches(["scaling"])
+                    if r["params"]["devices"] == 1]
+    except Exception as e:
+        print(f"tpu 1-dev scaling measurement failed: {type(e).__name__}")
+
+    # Analytic 2-chip projection (VERDICT r04 #4b): the recorded
+    # per-device collective bytes at v5e ICI bandwidth vs the real chip's
+    # measured kernel time. Assumption (stated, conservative): a 2-chip
+    # v5e mesh moves collective traffic over ONE ICI link pair at
+    # 45 GB/s per direction (scaling-book v5e per-link one-way figure);
+    # all_to_all send+recv overlap (full duplex), no compute overlap.
+    ICI_BPS = 45e9
+    projections = []
+    for tr in tpu_rows:
+        B = tr["params"]["batch"]
+        t1 = B / tr["value"]                     # measured 1-chip seconds
+        cpu2 = [r for r in rows
+                if r["params"]["devices"] == 2
+                and r["params"]["batch"] == B
+                and r["params"].get("mode") == "collective"]
+        if not cpu2:
+            continue
+        bytes2 = (cpu2[0]["params"]["a2a_bytes_per_dev"]
+                  + cpu2[0]["params"]["allgather_bytes_per_dev"])
+        t_comm = bytes2 / ICI_BPS
+        eff = (t1 / 2) / (t1 / 2 + t_comm)
+        projections.append({
+            "batch": B, "tpu_1dev_shares_per_s": tr["value"],
+            "tpu_1dev_seconds": round(t1, 6),
+            "collective_bytes_per_dev_at_2": bytes2,
+            "ici_bw_assumed_Bps": ICI_BPS,
+            "t_comm_seconds": round(t_comm, 6),
+            "projected_2chip_efficiency": round(eff, 3),
+            "meets_80pct_target": eff >= 0.80,
+        })
+
+    rec = {"artifact": "virtual-mesh scaling proxy + compute-only control "
+                       "+ analytic 2-chip ICI projection (BASELINE >=80% "
+                       "@2 hosts target; real multi-chip unavailable)",
+           "backend": "cpu-8-virtual-devices (timing) + tpu-tunnel "
+                      "(1-dev rate for projection)",
+           "note": "CPU virtual-mesh timing measures host thread "
+                   "scheduling, NOT ICI. The compute-only rows run the "
+                   "same total decode work with ZERO collectives: if they "
+                   "collapse with device count like the collective rows, "
+                   "the collapse is scheduling noise. The projection rows "
+                   "convert the recorded per-device collective bytes to "
+                   "ICI seconds at the stated v5e link bandwidth against "
+                   "the REAL chip's measured 1-device time.",
+           "rows": rows,
+           "projection": projections}
     with open(os.path.join(REPO, path), "w") as f:
         json.dump(rec, f, indent=1)
-    print(f"wrote {path}: {len(rows)} rows")
+    print(f"wrote {path}: {len(rows)} rows, "
+          f"{len(projections)} projection rows")
 
 
 if __name__ == "__main__":

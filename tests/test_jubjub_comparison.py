@@ -79,6 +79,7 @@ def test_share_mul_bitwise_scalar(ctx, rng):
     assert Point(int(x.to_ints()[0][0]), int(y.to_ints()[0][0]), p.curve) == want
 
 
+@pytest.mark.slow
 def test_less_than_boundaries(rng):
     """LessThan at the domain boundaries (the reference documents a ~1/20
     failure mode, share_comparison.py:101-102; this implementation's

@@ -23,6 +23,7 @@ def test_mont_mul_pallas_parity(rng):
     assert np.array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_fp_matmul_pallas_parity(rng):
     B, k, n = 13, 5, 7  # odd shapes, forces padding
     a = jnp.asarray(ints_to_limbs(
@@ -150,6 +151,7 @@ def test_rand_limbs_pallas():
     assert not np.array_equal(out, out3)
 
 
+@pytest.mark.slow
 def test_mul_add_packed_parity(rng):
     """Packed-domain (a*b + c) mod p vs Python ints."""
     import jax

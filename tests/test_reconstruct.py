@@ -25,7 +25,8 @@ def deal(rng, enc, t, B):
 
 
 @pytest.mark.parametrize("n,t", [(4, 1), (7, 2)])
-@pytest.mark.parametrize("use_fft", [False, True])
+@pytest.mark.parametrize("use_fft", [
+    False, pytest.param(True, marks=pytest.mark.slow)])
 def test_sim_batch_reconstruct_faultfree(rng, n, t, use_fft):
     B = 4 * (t + 1)
     enc = Encoding(n, use_omega_powers=use_fft)

@@ -28,7 +28,8 @@ def test_encode_matches_oracle(rng, use_fft):
             assert shares[b][j] == poly_eval(coeffs[b], enc.points[j])
 
 
-@pytest.mark.parametrize("use_fft", [False, True])
+@pytest.mark.parametrize("use_fft", [
+    False, pytest.param(True, marks=pytest.mark.slow)])
 @pytest.mark.parametrize("zs", [(0, 1, 2), (1, 3, 6), (4, 2, 5)])
 def test_decode_subsets(rng, use_fft, zs):
     n, k, batch = 7, 3, 4
@@ -40,6 +41,7 @@ def test_decode_subsets(rng, use_fft, zs):
     assert [list(r) for r in got.to_ints()] == coeffs
 
 
+@pytest.mark.slow
 def test_decode_larger_fft_domain(rng):
     # n=16 parties (t=5), k=6, subset of exactly k shares, FFT path
     n, k = 16, 6

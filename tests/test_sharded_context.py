@@ -123,6 +123,7 @@ def test_double_sharing_multiply_parity(rng):
         np.asarray(jax.device_get(open_ds.limbs)))
 
 
+@pytest.mark.slow
 def test_equality_sharded(rng):
     """Secure equality (Legendre mixin) as a sharded program: the opened
     test product is nonzero iff equal, and matches the sim path bit-exactly."""
@@ -154,6 +155,7 @@ def test_equality_sharded(rng):
         np.asarray(jax.device_get(open_sim.limbs)))
 
 
+@pytest.mark.slow
 def test_mimc_sharded_vs_sim_bit_exact(rng, monkeypatch):
     """mimc_mpc_batch at n=8 over the 8-virtual-device mesh, bit-exact vs
     the sim path AND the plaintext oracle. ROUND is reduced (the program
