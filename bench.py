@@ -51,18 +51,20 @@ def _triple_baseline():
         return None, None
 
 
-def bench_triples(n=64, t=21, k=2048, iters=10):
+def bench_triples(n=64, t=21, k=4096, iters=10):
     """Verified Beaver triples/s on one chip (the reference's second
     performance determinant, docs/performance.rst): 2x single-degree
-    RanSha (a, b) + RanDouSha (r) + fused a*b+r_2t finish opened at 2t —
-    runtime/offline.py::fused_generate_triples. k=2048 slots -> 45056
-    triples per dispatch (measured-best; ~flat through 4096)."""
+    RanSha (a, b) + RanDouSha (r, with the rho-folded extraction band) +
+    packed-domain a*b+r_2t finish opened at 2t —
+    runtime/offline.py::fused_generate_triples(packed=True). Outputs stay
+    in the packed at-rest share format the open kernels consume (the same
+    contract as the open bench's deal-time packing)."""
     import jax
 
     from honeybadgermpc_tpu.runtime.offline import sim_offline_jit
 
     key = jax.random.PRNGKey(7)
-    run = sim_offline_jit("generate_triples", n, t, k)
+    run = sim_offline_jit("generate_triples_packed", n, t, k)
     a, b, ab, ok = run(key)                  # compile + correctness gate
     assert bool(jax.device_get(ok)), "triple verification failed"
     t0 = time.perf_counter()

@@ -97,13 +97,20 @@ def _butterfly_jit(n: int, t: int, k: int, robust: bool, omega: bool):
             sb, a, b = FpArray(sbl), FpArray(al), FpArray(bl)
             ab = FpArray(abl)
             diff = x - y
+            both = jnp.concatenate(
+                [(sb - a).limbs, (diff - b).limbs], axis=-1)
+            # pad to a multiple of t+1 with zero shares (valid sharings
+            # of 0 at any degree) — k need not divide by t+1 at big n
+            pad = (-both.shape[-1]) % (t + 1)
+            if pad:
+                both = jnp.concatenate(
+                    [both, jnp.zeros(both.shape[:-1] + (pad,),
+                                     both.dtype)], axis=-1)
             opened, _ = sim_batch_reconstruct(
-                FpArray(jnp.concatenate(
-                    [(sb - a).limbs, (diff - b).limbs], axis=-1)),
-                n, t, omega, robust)
+                FpArray(both), n, t, omega, robust)
             h = ia.shape[-1]
             d = FpArray(opened.limbs[..., :h])
-            e = FpArray(opened.limbs[..., h:])
+            e = FpArray(opened.limbs[..., h:2 * h])
             sdiff = d * e + d * b + e * a + ab
             summ = x + y
             ox = (summ + sdiff) * inv2

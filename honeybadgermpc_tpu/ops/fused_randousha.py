@@ -48,8 +48,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_open import (KMAX, NBAL, PL, _bal_bias, _bal_fold_init,
-                         _band_dot_fold, _bands_np, _mismatch, _pack16,
+from .fused_open import (KMAX, NBAL, PL, _BAL_ROUNDS, _bal_bias,
+                         _bal_fold_init, _band_dot_fold, _bands_np,
+                         _folded_band_host, _mismatch, _pack16, _pad_band,
                          _planes_of, _planes_of_packed, _round8)
 from .limbs import L, MASK, P, W, int_to_limbs
 from .mxu_matmul import _interpret
@@ -135,22 +136,24 @@ def _kd_kernel(key_ref, w_ref, o_ref, *, n, t, sp, kc, n1, init, bias,
 
 
 def _ke_kernel(c_ref, w_ref, *refs, n, n_out, ncheck,
-               n1, kcn, init, bias, n_outp, ncheckp, mj, agg, kca,
-               inita, biasa):
+               n1, kcn, init, bias, n_outp, ncheckp, mj, agg):
     """Hyperinvertible extraction for JT dst parties, MJ of them merged
     into the matmul lane axis per dot (narrow per-dst N=128 dots measured
     ~3x slower than one wide dot + one fold).
     c_ref (1, 1, PL, n, JT, TBW): received columns, dealer-major.
 
-    agg=False: refs = (keep_ref, chk_ref) — the 2t discarded columns
-    stream to the check tensor for per-column verification (KC).
-    agg=True: refs = (rho-band ref, keep_ref, z_ref) — the discarded
-    columns are contracted IN-KERNEL against a run-random rho band
-    (second matmul) and only the single aggregated column leaves the
-    kernel; the check tensor was over 40% of the pipeline's HBM
-    traffic."""
+    agg=False: refs = (keep_ref, chk_ref); w_ref is the full n-point
+    re-encode band — the 2t discarded columns stream to the check tensor
+    for per-column verification (KC).
+    agg=True: refs = (keep_ref, z_ref); w_ref is the RHO-FOLDED band
+    (n_out keep columns + ONE run-random aggregated check column, built
+    per run by the device-side fold in _randousha_calls). The matmul only
+    computes n_out+1 output rows instead of n — at n=64, t=21 that is a
+    64 -> 24 row cut of the pipeline's dominant dot (the r04 trace put
+    extraction at 47% of device time), and the 2t-column check tensor
+    never exists at all."""
     if agg:
-        rb_ref, keep_ref, z_ref = refs           # rb: (1, NBAL*8, kca)
+        keep_ref, z_ref = refs
     else:
         keep_ref, chk_ref = refs
     for g in range(JT // mj):
@@ -162,11 +165,7 @@ def _ke_kernel(c_ref, w_ref, *refs, n, n_out, ncheck,
         packed = _pack16(_band_dot_fold(w_ref[0], planes, n1, init, bias))
         wide = packed.reshape(PL, n1, mj, TBW)
         if agg:
-            chkp = _planes_of_packed(
-                lambda w: packed[w, n_out:n], ncheck, kca)
-            zp = _pack16(_band_dot_fold(rb_ref[0], chkp, 8, inita, biasa))
-            zr = zp[:, 0].reshape(PL, mj, TBW)   # row 0 = the aggregate
-            z_ref[:, g * mj:(g + 1) * mj] = zr
+            z_ref[:, g * mj:(g + 1) * mj] = wide[:, n_out]
         for jj in range(mj):
             j = g * mj + jj
             keep_ref[:, j] = wide[:, :n_outp, jj]
@@ -202,18 +201,17 @@ def _kc_kernel(c_ref, w_ref, vals_ref, errs_ref, *, n, k, nv, ncp, kc,
     errs_ref[...] = errs.reshape(1, cg, TBW)
 
 
-def _rho_band_kernel(key_ref, cs_ref, d_ref):
-    """Grid-1 kernel: derive rho (Threefry domain 0x20000, disjoint from
-    the dealer draws) and emit the balanced digits d[r, s, kk] of
-    w[kk][s] = rho_kk * 2^(8s+32) mod p — all in registers (as loose XLA
-    ops this was ~100 tiny dispatches whose launch gaps cost more than
-    the whole check-tensor traffic it saves).
-
-    Layout: s rides sublanes (NBAL=32), kk rides lanes (64, padded)."""
-    from .pallas_field import _cios
-    shape = (NBAL, 64)
-    key0 = key_ref[0, 0]
-    key1 = key_ref[0, 1]
+def _rho_plain(key_data):
+    """Derive the check-aggregation vector rho: 64 canonical field elements
+    from Threefry counter domain 0x20000 (disjoint from the dealer draws,
+    which live at c0 >= _CTR_TAG, and from pallas_field's c0 < 6). Plain
+    XLA — the arrays are (1, 64), trace-time tiny. Returns uint32
+    [L, 64]. Soundness of the batched check built on it: a nonzero
+    deviation in any check column survives the rho-combination only if
+    sum_j rho_j*delta_j = 0, probability <= 1/p (Schwartz-Zippel)."""
+    shape = (1, 64)
+    key0 = key_data[0]
+    key1 = key_data[1]
     c1 = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)   # kk per lane
     rows24 = []
     for s in range(6):
@@ -223,65 +221,25 @@ def _rho_band_kernel(key_ref, cs_ref, d_ref):
         for wrd in (w0, w1):
             rows24.append(wrd & MASK)
             rows24.append(wrd >> W)
-    rho = _redc384_reg(rows24, shape)            # L x (NBAL, 64), < p
-    # one elementwise CIOS against the per-sublane constant 2^(8s+32)*R
-    cs = [jnp.broadcast_to(cs_ref[j].reshape(NBAL, 1), shape)
-          for j in range(L)]
-    w = _cios(rho, cs, shape)                    # w[s, kk] canonical
-    carry = jnp.zeros(shape, jnp.uint32)
+    rho = _redc384_reg(rows24, shape)            # L x (1, 64), < p
+    return jnp.stack(rho, 0)[:, 0, :]            # [L, 64]
+
+
+def _bal_digits_device(w):
+    """Balanced base-256 digits of canonical values. w: uint32 [L, ...]
+    (< p). Returns int8 [NBAL, ...] — the device twin of _bal_digits
+    (p's top byte is 0x73 < 0x80, so the final carry is always 0)."""
+    carry = jnp.zeros(w.shape[1:], jnp.uint32)
+    digs = []
     for r in range(NBAL):
         j, off = divmod(8 * r, W)
         byte = (w[j] >> off) & jnp.uint32(0xFF)
         u = byte + carry
         ge = (u >= 128).astype(jnp.uint32)
-        d_ref[r] = (u.astype(jnp.int32)
-                    - (ge.astype(jnp.int32) << 8)).astype(jnp.int8)
+        digs.append((u.astype(jnp.int32)
+                     - (ge.astype(jnp.int32) << 8)).astype(jnp.int8))
         carry = ge
-
-
-@functools.lru_cache(maxsize=None)
-def _rho_band_call():
-    cs = np.stack([np.asarray(int_to_limbs(
-        pow(2, 8 * s + 32, P) * pow(2, 256, P) % P), np.uint32)
-        for s in range(NBAL)], axis=-1)          # [L, NBAL]
-    call = pl.pallas_call(
-        _rho_band_kernel,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, NBAL), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((NBAL, NBAL, 64), lambda i: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NBAL, NBAL, 64), jnp.int8),
-        interpret=_interpret(),
-    )
-    return lambda kd: call(kd, cs)
-
-
-def _rho_band(key_data, ncheck: int, kca: int):
-    """Run-random aggregation band for the in-kernel batched check: int8
-    [1, NBAL*8, kca] whose single output column computes
-    z = sum_j rho_j * chk_j over GF(p) (chk in Montgomery form).
-
-    The band depends on the run key, so a host-folded constant (0.3+ s
-    of Python per run) is not an option; the digits come from one grid-1
-    Pallas kernel. Soundness of the batched check: a nonzero deviation
-    in any check column survives the combination unless
-    sum_j rho_j*delta_j = 0, probability <= 1/p (Schwartz-Zippel)."""
-    d = _rho_band_call()(key_data.reshape(1, 2))     # [r, s, 64]
-    # band[r*8 + 0, s*ncheck + kk] = d[r, s, kk]; other rows zero
-    arr = d[:, :, :ncheck].reshape(NBAL, NBAL * ncheck)
-    band = jnp.concatenate(
-        [arr[:, None], jnp.zeros((NBAL, 7, NBAL * ncheck), jnp.int8)],
-        axis=1).reshape(NBAL * 8, NBAL * ncheck)
-    if kca > NBAL * ncheck:
-        band = jnp.concatenate(
-            [band, jnp.zeros((NBAL * 8, kca - NBAL * ncheck), jnp.int8)],
-            axis=1)
-    return band[None]
+    return jnp.stack(digs, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -296,10 +254,14 @@ def _randousha_calls(n: int, t: int, sp: int, points: tuple,
     (keep_t, keep_2t packed [PL, n, n_outp, sp], ok-stats).
 
     aggregate=True (default): the H2/H3 verification opens run as ONE
-    rho-weighted batched check per degree (see _rho_band — soundness
-    1 - 1/p) instead of per-column opens; this removes the check tensor
-    (>40% of pipeline HBM traffic). The per-column variant remains for
-    the protocol-faithful path and fault localization.
+    rho-weighted batched check per degree (see _rho_plain — soundness
+    1 - 1/p) instead of per-column opens, and rho is FOLDED INTO THE
+    EXTRACTION BAND: the KE matmul computes n_out keep rows plus one
+    aggregated-check row (n_out+1 rows) instead of all n — at n=64, t=21
+    a 64 -> 24 row cut of the pipeline's dominant dot — and the
+    2t-column check tensor (>40% of pipeline HBM traffic) never exists.
+    The per-column variant remains for the protocol-faithful path and
+    fault localization.
 
     single=True: RanSha — degree-t sharings ONLY (no 2t dealing, no
     extraction at 2t, no cross-degree equality; the degree-t check still
@@ -351,31 +313,35 @@ def _randousha_calls(n: int, t: int, sp: int, points: tuple,
         )
 
     # lane widths: the deal dots are the narrowest in the pipeline; wider
-    # slot tiles keep the MXU busy. The degree-2t kernel carries more
-    # live state (7 row groups + the bigger band), hence the split.
+    # slot tiles keep the MXU busy (512 lanes measured fastest for both
+    # degrees once the rho-folded extraction freed scoped VMEM).
     kdw_t = 512 if sp % 512 == 0 else TBW
-    kdw_2 = 256 if sp % 256 == 0 else TBW
+    kdw_2 = 512 if sp % 512 == 0 else TBW
     kd_t = kd_call(k1, kc1, plan_t, kdw_t)
     kd_2 = kd_call(k2, kc2, plan_2t, kdw_2)
 
-    # dst-merge width: the dot intermediate [NBAL*n1, mj*TBW] i32 is the
-    # VMEM hog; mj = 4 at n = 64 missed the 16 MB scoped-vmem limit by
-    # 12 KB, so 2 it is (dots still 2 MXU tiles wide)
-    mj = 2 if n >= 32 else JT
+    # the rho-folded extraction band: n_out keep columns + 1 aggregated
+    # check column (aggregate mode); per-column mode re-encodes at all n
+    ncp2 = _round8(n_out + 1)
+    n1e = ncp2 if aggregate else n1n
 
-    kca = NBAL * ncheck
+    # dst-merge width: the dot intermediate [NBAL*n1, mj*TBW] i32 is the
+    # VMEM hog. Per-column mode (n1 = n): mj = 4 at n = 64 missed the
+    # 16 MB scoped-vmem limit by 12 KB, so 2 it is. Folded-agg mode
+    # (n1 = n_out+1, 24 rows at n=64): the intermediate shrinks ~2.7x,
+    # so mj = 4 fits with room (dots 4 MXU tiles wide).
+    mj = (4 if aggregate else 2) if n >= 32 else JT
 
     def ke_call():
         kern = functools.partial(
-            _ke_kernel, n=n, n_out=n_out, ncheck=ncheck, n1=n1n, kcn=kcn,
+            _ke_kernel, n=n, n_out=n_out, ncheck=ncheck, n1=n1e, kcn=kcn,
             init=_bal_fold_init(n), bias=_bal_bias(n), n_outp=n_outp,
-            ncheckp=ncheckp, mj=mj, agg=aggregate, kca=kca,
-            inita=_bal_fold_init(ncheck), biasa=_bal_bias(ncheck))
+            ncheckp=ncheckp, mj=mj, agg=aggregate)
         in_specs = [
             pl.BlockSpec((1, 1, PL, n, JT, TBW),
                          lambda j, b: (b, j, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NBAL * n1n, kcn), lambda j, b: (0, 0, 0),
+            pl.BlockSpec((1, NBAL * n1e, kcn), lambda j, b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         keep_spec = pl.BlockSpec((PL, JT, n_outp, TBW),
@@ -383,9 +349,6 @@ def _randousha_calls(n: int, t: int, sp: int, points: tuple,
                                  memory_space=pltpu.VMEM)
         keep_shape = jax.ShapeDtypeStruct((PL, n, n_outp, sp), jnp.uint32)
         if aggregate:
-            in_specs.append(
-                pl.BlockSpec((1, NBAL * 8, kca), lambda j, b: (0, 0, 0),
-                             memory_space=pltpu.VMEM))
             out_specs = [keep_spec,
                          pl.BlockSpec((PL, JT, TBW),
                                       lambda j, b: (0, j, b),
@@ -406,12 +369,63 @@ def _randousha_calls(n: int, t: int, sp: int, points: tuple,
             out_specs=out_specs, out_shape=out_shape,
             interpret=_interpret(),
             cost_estimate=pl.CostEstimate(
-                flops=2 * n * sp * NBAL * n1n * kcn,
+                flops=2 * n * sp * NBAL * n1e * kcn,
                 bytes_accessed=4 * PL * n * sp * (n + n_outp + ncheckp),
                 transcendentals=0),
         )
 
     ke = ke_call()
+
+    folded_band = None
+    if aggregate:
+        # Host constants for the rho-folded extraction band. Keep columns
+        # are protocol constants (the first n_out points of the n-point
+        # re-encode); the aggregated column u_kk = sum_c rho_c *
+        # points[n_out+c]^kk is run-random and folded in on device below.
+        from . import montgomery as mont
+        R256 = pow(2, 256, P)
+        mat_keep = [[pow(int(points[j]), i, P) for j in range(n_out)]
+                    for i in range(n)]
+        base_band = _pad_band(
+            _folded_band_host(mat_keep, _BAL_ROUNDS, ncp2), kcn)
+        echk_mont = np.stack(
+            [np.stack([np.asarray(int_to_limbs(
+                pow(int(points[n_out + c]), i, P) * R256 % P), np.uint32)
+                for c in range(ncheck)], axis=-1)
+             for i in range(n)], axis=-1)            # [L, ncheck, n]
+        cs2 = np.stack([np.asarray(int_to_limbs(
+            pow(2, 8 * s + 16 * _BAL_ROUNDS, P) * R256 % P), np.uint32)
+            for s in range(NBAL)], axis=-1)          # [L, NBAL]
+
+        def folded_band(key_data):
+            """Device-side band fold: [1, NBAL*ncp2, kcn] int8 = host keep
+            band + balanced digits of u*2^(8s+32) scattered into the
+            aggregated column (tiny XLA — a 42x64 modular matvec)."""
+            rho = _rho_plain(key_data)[:, :ncheck]            # [L, ncheck]
+            prod = mont.mont_mul(rho[:, :, None],
+                                 jnp.asarray(echk_mont))      # [L, nc, n]
+            u, m = prod, ncheck
+            while m > 1:
+                half = m // 2
+                s2 = mont.add_mod(u[:, :half], u[:, half:2 * half])
+                if m % 2:
+                    s2 = jnp.concatenate([s2, u[:, m - 1:m]], axis=1)
+                    m = half + 1
+                else:
+                    m = half
+                u = s2
+            u = u[:, 0]                                       # [L, n] < p
+            w = mont.mont_mul(u[:, None, :],
+                              jnp.asarray(cs2)[:, :, None])   # [L, NBAL, n]
+            d = _bal_digits_device(w)                         # [r, s, n]
+            dev = jnp.zeros((NBAL, ncp2, NBAL * n), jnp.int8)
+            dev = dev.at[:, n_out, :].set(d.reshape(NBAL, NBAL * n))
+            dev = dev.reshape(NBAL * ncp2, NBAL * n)
+            if kcn > NBAL * n:
+                dev = jnp.concatenate(
+                    [dev, jnp.zeros((NBAL * ncp2, kcn - NBAL * n),
+                                    jnp.int8)], axis=1)
+            return jnp.asarray(base_band) + dev[None]
 
     def kc_call(k, band, ncp, kc):
         nv = n - k
@@ -481,13 +495,13 @@ def _randousha_calls(n: int, t: int, sp: int, points: tuple,
         kd_arg = key_data.reshape(1, 2)
         cols_t = kd_t(kd_arg, e1w)
         if aggregate:
-            rb = _rho_band(key_data, ncheck, kca)
-            keep_t, z_t = ke(cols_t, enw, rb)
+            band = folded_band(key_data)
+            keep_t, z_t = ke(cols_t, band)
             vt, et = _open_z(z_t, t)
             if single:
                 return keep_t, jnp.sum(et)
             cols_2t = kd_2(kd_arg, e2w)
-            keep_2t, z_2t = ke(cols_2t, enw, rb)
+            keep_2t, z_2t = ke(cols_2t, band)
             v2, e2 = _open_z(z_2t, 2 * t)
             neq = jnp.sum(jnp.any(vt[:, :sp] != v2[:, :sp],
                                   axis=0).astype(jnp.int32))
@@ -508,15 +522,27 @@ def _randousha_calls(n: int, t: int, sp: int, points: tuple,
 
     run.parts = (kd_t, kd_2, ke, kc_t, kc_2, e1w, e2w, enw, r1w, r2w)
     run.meta = (n_out, n_outp, ncheck, ncheckp)
+    run.folded_band = folded_band
     return run
 
 
-def sim_ransha_fused(key_data, n: int, t: int, k: int):
+def sim_ransha_fused(key_data, n: int, t: int, k: int,
+                     padded: bool = False):
     """Single-degree RanSha: k slots -> k*(n-2t) verified random DEGREE-t
     sharings, packed [PL, n, k*(n-2t)], plus ok. Same deal/extract/check
     pipeline as RanDouSha minus everything 2t — used for the a/b slots of
     triple generation, where the 2t halves would be dead weight (~40% of
-    the double pipeline's kernel time)."""
+    the double pipeline's kernel time).
+
+    padded=True (requires k % TBW == 0): skip the column-drop slice and
+    return the raw 4D keep tensor [PL, n, n_outp, k] in its native
+    kernel layout. Rows >= n_out hold the aggregated-check sharing (row
+    n_out) and zero sharings — all VALID degree-t sharings, so downstream
+    arithmetic/opens pass through them cleanly, and the 4D-native finish
+    kernels (pallas_field.mul_add_packed4 / sub_bcast_packed4) consume it
+    with zero reshapes. The slice this avoids was a full read+write of
+    the tensor, and each flat-layout reshape another (~0.6 ms each at the
+    bench shape)."""
     sp = -(-k // TBW) * TBW
     from .rs import Encoding
     enc = Encoding(n)
@@ -524,17 +550,24 @@ def sim_ransha_fused(key_data, n: int, t: int, k: int):
     run = _randousha_calls(n, t, sp, points, single=True)
     keep_t, nerr = run(jnp.asarray(key_data, jnp.uint32))
     n_out, n_outp, _, _ = run.meta
+    if padded:
+        assert sp == k, (sp, k, "padded layout requires k % TBW == 0")
+        return keep_t, nerr == 0             # raw 4D [PL, n, n_outp, k]
     v = keep_t[:, :, :n_out, :k]
     return v.reshape(PL, keep_t.shape[1], n_out * k), nerr == 0
 
 
-def sim_randousha_fused(key_data, n: int, t: int, k: int):
+def sim_randousha_fused(key_data, n: int, t: int, k: int,
+                        padded: bool = False):
     """k slots per party -> packed double sharings, detect-only.
 
     Returns (r_t, r_2t packed [PL, n, k*(n-2t)], ok bool scalar). Output
     index c*k + s = output-column c (< n-2t) of slot s — every column is
     an independent uniform double sharing, so the stripe order is a
     labeling convention (documented for pool reproducibility).
+
+    padded=True: as in sim_ransha_fused — raw 4D [PL, n, n_outp, k] with
+    the real double sharings in rows [:n_out].
     """
     sp = -(-k // TBW) * TBW
     from .rs import Encoding
@@ -543,6 +576,10 @@ def sim_randousha_fused(key_data, n: int, t: int, k: int):
     run = _randousha_calls(n, t, sp, points)
     keep_t, keep_2t, nerr = run(jnp.asarray(key_data, jnp.uint32))
     n_out, n_outp, _, _ = run.meta
+
+    if padded:
+        assert sp == k, (sp, k, "padded layout requires k % TBW == 0")
+        return keep_t, keep_2t, nerr == 0    # raw 4D [PL, n, n_outp, k]
 
     def finalize(keep):
         v = keep[:, :, :n_out, :k]           # drop col + slot padding

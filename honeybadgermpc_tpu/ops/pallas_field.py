@@ -207,6 +207,165 @@ def mul_add_packed(a, b, c):
     return out.reshape(PLh, bp)[:, :B].reshape(a.shape)
 
 
+def _unpack_reg4(ref):
+    """Packed (PLh, 1, 8, 512) block -> L 16-bit limb registers (8, 512)."""
+    rows = []
+    for wd in range(L // 2):
+        v = ref[wd, 0]
+        rows.append(v & MASK)
+        rows.append(v >> W)
+    return rows
+
+
+def _mul_add4_kernel(a_ref, b_ref, c_ref, o_ref):
+    a = _unpack_reg4(a_ref)
+    b = _unpack_reg4(b_ref)
+    c = _unpack_reg4(c_ref)
+    shape = a[0].shape
+    out = _add_mod(_cios(a, b, shape), c, shape)
+    o_ref[...] = _pack_reg(out)[:, None]
+
+
+@jax.jit
+def mul_add_packed4(a, b, c):
+    """mul_add_packed on the extraction kernels' NATIVE 4D layout
+    [PL, n, R, S] (R % 8 == 0, S % 512 == 0): the BlockSpec grids over
+    the tensor as stored, so none of the operands is reshaped/retiled —
+    the flat variant's [PL, n, R, S] -> [PLh, B] reshapes were full
+    HBM copies on TPU (tiled layouts), ~0.6 ms each at the triple-bench
+    shape."""
+    PLh = L // 2
+    _, n, R, S = a.shape
+    ts = 512 if S % 512 == 0 else 128
+    assert R % 8 == 0 and S % ts == 0, (R, S)
+    grid = (n, R // 8, S // ts)
+    spec = pl.BlockSpec((PLh, 1, 8, ts), lambda j, r, s: (0, j, r, s),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _mul_add4_kernel,
+        grid=grid,
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((PLh, n, R, S), jnp.uint32),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=600 * n * R * S, bytes_accessed=16 * PLh * n * R * S,
+            transcendentals=0),
+    )(a, b, c)
+
+
+def _sub_mod_reg(a, b, shape):
+    """(a - b) mod p on 16-bit limb registers (a, b canonical < p)."""
+    borrow = jnp.zeros(shape, jnp.uint32)
+    d = []
+    for j in range(L):
+        v = a[j] - b[j] - borrow
+        d.append(v & MASK)
+        borrow = (v >> W) & jnp.uint32(1)
+    carry = jnp.zeros(shape, jnp.uint32)
+    out = []
+    for j in range(L):
+        v = d[j] + jnp.uint32(P_LIMBS[j]) * borrow + carry
+        out.append(v & MASK)
+        carry = v >> W
+    return out
+
+
+def _sub_bcast_kernel(a_ref, b_ref, o_ref):
+    arows, brows = [], []
+    for wd in range(L // 2):
+        v = a_ref[wd]                        # (1, SUBS, 512)
+        arows += [v & MASK, v >> W]
+        u = b_ref[wd, 0]
+        brows += [u & MASK, u >> W]
+    out = _sub_mod_reg(arows, brows, arows[0].shape)
+    o_ref[...] = _pack_reg(out)[:, None]
+
+
+def _sub_bcast4_kernel(a_ref, b_ref, o_ref):
+    arows = []
+    for wd in range(L // 2):
+        v = a_ref[wd]                        # (8, 512)
+        arows += [v & MASK, v >> W]
+    brows = _unpack_reg4(b_ref)
+    out = _sub_mod_reg(arows, brows, arows[0].shape)
+    o_ref[...] = _pack_reg(out)[:, None]
+
+
+@jax.jit
+def sub_bcast_packed4(a, b):
+    """(a - b) mod p on PACKED limbs in the native 4D layout: shared
+    minuend ``a`` [PL, R, S] (e.g. a single-copy opened value) broadcast
+    against per-party ``b`` [PL, n, R, S] via the grid index map ->
+    [PL, n, R, S]. Zero reshapes/retiles (see mul_add_packed4)."""
+    PLh = L // 2
+    _, n, R, S = b.shape
+    assert a.shape == (PLh, R, S), (a.shape, b.shape)
+    ts = 512 if S % 512 == 0 else 128
+    assert R % 8 == 0 and S % ts == 0, (R, S)
+    spec = pl.BlockSpec((PLh, 1, 8, ts), lambda j, r, s: (0, j, r, s),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _sub_bcast4_kernel,
+        grid=(n, R // 8, S // ts),
+        in_specs=[
+            pl.BlockSpec((PLh, 8, ts), lambda j, r, s: (0, r, s),
+                         memory_space=pltpu.VMEM),
+            spec,
+        ],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((PLh, n, R, S), jnp.uint32),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=64 * n * R * S, bytes_accessed=8 * PLh * n * R * S,
+            transcendentals=0),
+    )(a, b)
+
+
+@jax.jit
+def sub_bcast_packed(a, b):
+    """(a - b) mod p on PACKED limbs, with ``a`` [PL, B] (one shared
+    row, e.g. a single-copy opened value) broadcast against per-party
+    ``b`` [PL, n, B] -> [PL, n, B]. The broadcast happens via the grid
+    index map, so the replicated minuend never exists in HBM — the
+    unpack -> broadcast -> sub_mod -> repack chain this replaces moved
+    ~4x the HBM bytes in the packed triple finish."""
+    PLh = L // 2
+    n, B = b.shape[1], b.shape[2]
+    tile = SUBS * 512
+    bp = -(-B // tile) * tile
+
+    def pad(x, lead):
+        flat = x.reshape(lead + (B,))
+        if bp != B:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros(lead + (bp - B,), jnp.uint32)],
+                axis=-1)
+        return flat.reshape(lead + (bp // tile, SUBS, 512))
+
+    m = bp // tile
+    out = pl.pallas_call(
+        _sub_bcast_kernel,
+        grid=(n, m),
+        in_specs=[
+            pl.BlockSpec((PLh, 1, SUBS, 512), lambda j, i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PLh, 1, 1, SUBS, 512),
+                         lambda j, i: (0, j, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((PLh, 1, 1, SUBS, 512),
+                               lambda j, i: (0, j, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((PLh, n, m, SUBS, 512), jnp.uint32),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=64 * n * bp, bytes_accessed=8 * PLh * n * bp,
+            transcendentals=0),
+    )(pad(a, (PLh,)), pad(b, (PLh, n)))
+    return out.reshape(PLh, n, bp)[..., :B]
+
+
 # -- fused uniform field sampling --------------------------------------------
 #
 # Threefry-2x32-20 (the same PRF family JAX's default PRNG uses) evaluated

@@ -502,3 +502,39 @@ class MpcContext:
     def open_double_share_array(self, sa: ShareArray) -> FpArray:
         assert sa.t == 2 * self.t
         return self.open_share_array(sa)
+
+    def open_share_arrays(self, sas) -> list:
+        """Open several independent ShareArrays in ONE reconstruction
+        (VERDICT r04 #6 — the latency composition for many small opens):
+        same-degree arrays are flattened and concatenated on the element
+        axis, opened with a single two-round protocol run / device
+        dispatch, and split back. Per-dispatch cost (a ~1.5 ms round trip
+        on a remote-tunneled chip; one collective round in a mesh
+        deployment) is paid once instead of len(sas) times."""
+        sas = list(sas)
+        if not sas:
+            return []
+        d = sas[0].t
+        assert all(s.t == d for s in sas), [s.t for s in sas]
+        lead = sas[0].v.shape[:self.lead]
+        flats = []
+        shapes = []
+        for s in sas:
+            shapes.append(s.v.shape[self.lead:])
+            total = 1
+            for dim in shapes[-1]:
+                total *= dim
+            flats.append(s.v.reshape(lead + (total,)))
+        cat = FpArray.concatenate(flats, axis=len(lead))
+        opened = self.open_share_array(ShareArray(self, cat, d))
+        outs = []
+        off = 0
+        olead = opened.shape[:-1]            # sim backends replicate
+        for shape in shapes:
+            total = 1
+            for dim in shape:
+                total *= dim
+            outs.append(FpArray(
+                opened.limbs[..., off:off + total]).reshape(olead + shape))
+            off += total
+        return outs

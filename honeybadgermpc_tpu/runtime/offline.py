@@ -239,7 +239,8 @@ def fused_randousha(backend, n: int, t: int, k: int, key):
     return (FpArray(unpack_limbs(pt)), FpArray(unpack_limbs(p2)), ok)
 
 
-def fused_generate_triples(backend, n: int, t: int, k: int, key):
+def fused_generate_triples(backend, n: int, t: int, k: int, key,
+                           packed: bool = False):
     """Beaver triples over the fused pipelines, producing k*(n-2t) triples:
     a and b come from single-degree RanSha (their 2t halves would be dead
     weight — the reference's generate_triples only ever uses the degree-t
@@ -256,9 +257,48 @@ def fused_generate_triples(backend, n: int, t: int, k: int, key):
     from ..parallel.reconstruct import _sim_reconstruct_packed_jit
 
     ka, kb, kr = jax.random.split(key, 3)
-    pa, oka = sim_ransha_fused(_key_data(ka), n, t, k)
-    pb, okb = sim_ransha_fused(_key_data(kb), n, t, k)
-    prt, pr2t, okr = sim_randousha_fused(_key_data(kr), n, t, k)
+    # packed mode keeps the extraction tensors in their PADDED column
+    # layout ([PL, n, n_outp*k], real triples the contiguous prefix
+    # [:n_out*k]): the per-tensor column-drop slices were four full
+    # read+write passes (~1.5 GB/iter at the bench shape) and the padding
+    # tail holds valid sharings, so the finish arithmetic and the 2t open
+    # pass through it with zero extra error counts.
+    pa, oka = sim_ransha_fused(_key_data(ka), n, t, k, padded=packed)
+    pb, okb = sim_ransha_fused(_key_data(kb), n, t, k, padded=packed)
+    prt, pr2t, okr = sim_randousha_fused(_key_data(kr), n, t, k,
+                                         padded=packed)
+    k2 = 2 * t + 1
+    run = _sim_reconstruct_packed_jit(n, 2 * t, False, True,
+                                      fallback=False, replicate=False)
+    if packed:
+        # stay in the packed at-rest share format end to end (the same
+        # 2x16-bit-limbs-per-word layout the open kernels consume and the
+        # dealer stores at rest, ops/fused_open.pack_limbs), AND in the
+        # extraction kernels' native 4D tensor layout [PL, n, n_outp, k]:
+        # the finish kernels (mul_add_packed4 / sub_bcast_packed4) grid
+        # over the tensors as stored, so the only reshape/retile left in
+        # the whole finish is the one flattening z for the 2t open. The
+        # flat-layout chain this replaces spent ~9 full HBM passes on
+        # slices/retiles (~5.5 ms/iter at the bench shape).
+        # Real triples are rows [:n-2t] of the n_outp axis; padding rows
+        # hold the aggregated-check sharing and zero sharings (valid, so
+        # the 2t open of z passes through them with zero errors).
+        from ..ops.pallas_field import mul_add_packed4, sub_bcast_packed4
+        PLh, _, n_outp, sp = pa.shape
+        z = mul_add_packed4(pa, pb, pr2t)          # [PL, n, n_outp, sp]
+        cntp = n_outp * sp
+        pad = (-cntp) % k2
+        zf = z.reshape(PLh, n, cntp)
+        if pad:
+            zf = jnp.concatenate(
+                [zf, jnp.zeros((PLh, n, pad), jnp.uint32)], axis=-1)
+        opened, nerr = run(zf)
+        if opened.ndim == 3:
+            opened = opened[:, 0]
+        ok = oka & okb & okr & (jnp.sum(nerr) == 0)
+        pab = sub_bcast_packed4(
+            opened[:, :cntp].reshape(PLh, n_outp, sp), prt)
+        return pa, pb, pab, ok
     cnt = pa.shape[-1]                              # k * (n - 2t)
 
     # z = a*b + r_2t, computed in the packed domain (one register kernel)
@@ -266,24 +306,21 @@ def fused_generate_triples(backend, n: int, t: int, k: int, key):
     z = mul_add_packed(pa.reshape(pa.shape[0], -1),
                        pb.reshape(pa.shape[0], -1),
                        pr2t.reshape(pa.shape[0], -1)).reshape(pa.shape)
-    k2 = 2 * t + 1
     pad = (-cnt) % k2
     zp = jnp.concatenate(
         [z, jnp.zeros(z.shape[:-1] + (pad,), jnp.uint32)], axis=-1) \
         if pad else z
-    run = _sim_reconstruct_packed_jit(n, 2 * t, False, True,
-                                      fallback=False, replicate=False)
     opened, nerr = run(zp)
     if opened.ndim == 3:
         # three-kernel fallback (direct kernel out of budget at this k)
         # returns the n-replicated per-party view
         opened = opened[:, 0]
+    ok = oka & okb & okr & (jnp.sum(nerr) == 0)
     # every party's opened value is identical; the per-party ab shares
     # differ only through r_t, so broadcast at the subtract (writing the
     # n-replicated open was ~92 MB of pure HBM traffic at the bench shape)
     ab = mont.sub_mod(unpack_limbs(opened[:, None, :cnt]),
                       unpack_limbs(prt))
-    ok = oka & okb & okr & (jnp.sum(nerr) == 0)
     return (FpArray(unpack_limbs(pa)), FpArray(unpack_limbs(pb)),
             FpArray(ab), ok)
 
@@ -316,6 +353,12 @@ def sim_offline_jit(program: str, n: int, t: int, k: int,
 
     backend = SimBackend(n)
     from ..ops.fused_randousha import fused_fits
+    if program == "generate_triples_packed":
+        # packed-at-rest variant (bench + packed pools); requires the
+        # fused pipeline
+        assert fused_fits(n, t)
+        return jax.jit(lambda key: fused_generate_triples(
+            backend, n, t, k, key, packed=True))
     if (program in ("randousha", "generate_triples")
             and not in_graph_fallback
             and jax.default_backend() not in ("cpu",)

@@ -93,8 +93,7 @@ def test_fused_randousha_aggregate_detects_corruption():
     """The rho-weighted batched check (aggregate mode, the default) must
     also flag a corrupted dealt column."""
     from honeybadgermpc_tpu.ops.fused_randousha import (NBAL, TBW,
-                                                        _randousha_calls,
-                                                        _rho_band)
+                                                        _randousha_calls)
     from honeybadgermpc_tpu.ops.rs import Encoding
     from honeybadgermpc_tpu.parallel.reconstruct import \
         _sim_reconstruct_packed_jit
@@ -107,8 +106,7 @@ def test_fused_randousha_aggregate_detects_corruption():
     cols_t = kd_t(key.reshape(1, 2), e1w)
     cols_t = cols_t.at[0, 0, 0, 3, 1, 17].add(jnp.uint32(1))
     ncheck = 2 * T
-    rb = _rho_band(key, ncheck, NBAL * ncheck)
-    _, z_t = ke(cols_t, enw, rb)
+    _, z_t = ke(cols_t, run.folded_band(key))
     kk = T + 1
     pad = (-K) % kk
     zp = jnp.concatenate(
@@ -184,8 +182,7 @@ def test_aggregate_check_boundary_known_rho_bypass():
     sim, rho and all dealings come from one trusted run key; distributed
     paths keep per-column opens."""
     from honeybadgermpc_tpu.ops.fused_randousha import (_CTR_TAG, NBAL, TBW,
-                                                        _randousha_calls,
-                                                        _rho_band)
+                                                        _randousha_calls)
     from honeybadgermpc_tpu.ops.limbs import L, MASK, W
     from honeybadgermpc_tpu.ops.pallas_field import (_redc384_reg,
                                                      _threefry2x32)
@@ -203,7 +200,7 @@ def test_aggregate_check_boundary_known_rho_bypass():
 
     key = jnp.asarray([5, 6], jnp.uint32)
 
-    # --- the adversary derives rho exactly as _rho_band_kernel does ------
+    # --- the adversary derives rho exactly as _rho_plain does ------------
     shape = (1, 64)
     c1 = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     rows24 = []
@@ -246,9 +243,9 @@ def test_aggregate_check_boundary_known_rho_bypass():
     cols_2t = shift_dealer(cols_2t, d2, delta2)
 
     # --- aggregated path: UNDETECTED ---------------------------------------
-    rb = _rho_band(key, ncheck, NBAL * ncheck)
-    _, z_t = ke(cols_t, enw, rb)
-    _, z_2t = ke(cols_2t, enw, rb)
+    band = run.folded_band(key)
+    _, z_t = ke(cols_t, band)
+    _, z_2t = ke(cols_2t, band)
 
     def open_z(z, deg):
         kk = deg + 1
