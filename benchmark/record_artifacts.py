@@ -49,10 +49,13 @@ def _run_benches(names, env=None):
     return rows
 
 
+# dispatch-latency-sensitive families (batch_opening's aggregated rows,
+# asynchromix epochs) run LAST so a concurrent host load from earlier
+# families' compiles has drained
 ALL_FAMILIES = [
-    "batch_opening", "gao_decode", "asynchromix", "poly_interpolate",
-    "fft_interpolate", "mimc", "jubjub", "refinement", "preprocessing",
-    "rbc", "hbavss", "hbavss_batch", "triple_generation",
+    "gao_decode", "poly_interpolate", "fft_interpolate", "mimc", "jubjub",
+    "refinement", "preprocessing", "rbc", "hbavss", "hbavss_batch",
+    "triple_generation", "batch_opening", "asynchromix",
 ]
 
 
